@@ -1,0 +1,182 @@
+"""The ``pages`` input table (BASELINE.json ``input_hint`` shape).
+
+``pages(url string, warc_ts timestamp, html binary, text string,
+lang string)`` — one row per Common-Crawl-style web page.  Three ways
+to obtain it:
+
+* :func:`load_pages` — adapt the driver-provided ``documents`` parquet
+  (``doc_id, text, lang, source, n_chars``) into ``pages`` shape with
+  **pure deterministic built-in expressions** (no UDF), so the exact
+  same derivation is expressible in DuckDB SQL for the oracle
+  (:data:`ORACLE_PAGES_CTE`).  Reference-field mapping per SURVEY.md
+  §1.4: url↔relativePath, warc_ts↔modifiedAt, html↔raw bytes,
+  text↔content, lang↔metadata.language.
+* :func:`synthetic_pages` — seed-fixed generator with Zipf-skewed
+  hosts, CRLF/NBSP/comment noise and a chunk-stress page, used by
+  pytest (FIXTURES.md §1).  Skew is real, not decorative: ~30% of rows
+  land on one host so salted-repartition paths are exercised.
+
+At 100 TB the "adapter" disappears: ``spark.read.table('cc.pages')``
+over a partitioned Iceberg/Parquet table; everything downstream only
+sees the ``pages`` schema.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Deterministic pseudo-extension per doc, so the reference's
+# extension-driven operators (detectLanguage kb-generator.js:551-585,
+# getFileType :587-601, isSupportedFile :180-183) have real inputs.
+PAGE_EXTS = [".js", ".md", ".json", ".html", ".py", ".txt", ".css", ".yml"]
+
+_EXT_SQL = (
+    "list_extract(['.js','.md','.json','.html','.py','.txt','.css','.yml'],"
+    " (doc_id % 8)::INT + 1)"
+)
+
+# DuckDB CTE mirroring documents_to_pages() exactly — every oracle query
+# that needs pages-shape columns starts from this.
+ORACLE_PAGES_CTE = f"""
+WITH pages AS (
+  SELECT
+    'https://' || source || '.example.com/' || lang || '/doc-'
+      || doc_id || {_EXT_SQL} AS url,
+    TIMESTAMP '2024-01-01 00:00:00'
+      + INTERVAL 1 SECOND * (doc_id % 86400) AS warc_ts,
+    text,
+    lang,
+    source,
+    doc_id,
+    length(text) AS size
+  FROM documents
+)
+"""
+
+
+def _url_expr() -> F.Column:
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in PAGE_EXTS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    return F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        ext,
+    )
+
+
+def documents_to_pages(docs: DataFrame, keep_keys: bool = True) -> DataFrame:
+    """``documents`` parquet → ``pages`` shape, built-ins only.
+
+    ``keep_keys=True`` retains ``doc_id``/``source``/``size`` so
+    oracle-checkable queries can expose stable join keys; the pipeline
+    itself never relies on them.
+    """
+    out = docs.select(
+        _url_expr().alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, doc_id % 86400)"
+        ).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        *(
+            [
+                F.col("doc_id"),
+                F.col("source"),
+                F.length("text").cast("long").alias("size"),
+            ]
+            if keep_keys
+            else []
+        ),
+    )
+    return out
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_pages(spark: SparkSession, sf_dir: str, keep_keys: bool = True) -> DataFrame:
+    return documents_to_pages(load_documents(spark, sf_dir), keep_keys=keep_keys)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic fixture generator (test scale; FIXTURES.md §1)
+# ---------------------------------------------------------------------------
+
+_VOCAB = (
+    "spark join filter group sort merge hash scan shuffle batch stream window "
+    "row column table index key value query plan stage task node edge graph "
+    "entity link triple chunk page host"
+).split()
+
+_HOSTS = ["big.example.com"] + [f"h{i}.example.com" for i in range(1, 20)]
+
+
+def synthetic_pages_rows(
+    n: int = 200, seed: int = 42
+) -> list[tuple[str, str, bytes, str, str]]:
+    """Deterministic (url, warc_ts_str, html, text, lang) rows.
+
+    ~30% of rows on one host (Zipf-ish skew); adversarial whitespace /
+    comment / CRLF noise wrapped into ``html``; ``text`` holds the
+    expected *raw decoded* text (extraction input), not the cleaned
+    output — cleaning is the engine's job.
+    """
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        host = _HOSTS[0] if rng.random() < 0.3 else rng.choice(_HOSTS[1:])
+        lang = rng.choices(
+            ["en", "de", "fr", "es", "unknown"], weights=[5, 2, 1, 1, 1]
+        )[0]
+        ext = PAGE_EXTS[i % len(PAGE_EXTS)]
+        url = f"https://{host}/{lang}/p{i}{ext}"
+        n_lines = rng.randint(1, 30)
+        lines = []
+        for _ in range(n_lines):
+            line = " ".join(rng.choices(_VOCAB, k=rng.randint(1, 25)))
+            r = rng.random()
+            if r < 0.1:
+                line += "  \t"  # trailing whitespace
+            elif r < 0.15:
+                line += " \xa0"  # NBSP tail
+            elif r < 0.2:
+                line = "// " + line
+            elif r < 0.25:
+                line = "# " + line
+            elif r < 0.3:
+                line = ""
+            lines.append(line)
+        text = "\n".join(lines)
+        if i % 17 == 0:
+            text = text.replace("\n", "\r\n")  # CRLF rows
+        if i % 23 == 0:
+            text += "\n\n\n\n\n"  # blank-run tail
+        if i == 0:
+            # chunk-stress page: >20 chunks at 1000/200
+            text = "\n".join(
+                f"== section {s} ==\n" + " ".join(rng.choices(_VOCAB, k=60))
+                for s in range(120)
+            )
+        ts = f"2024-01-{(i % 28) + 1:02d} {(i % 24):02d}:00:00"
+        rows.append((url, ts, text.encode("utf-8"), text, lang))
+    return rows
+
+
+def synthetic_pages(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
+    rows = synthetic_pages_rows(n, seed)
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, text string, lang string"
+    )
+    return df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
