@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG pipeline at sf0.001 and returns
+the triples DataFrame.  ``queries()`` registers one entry per
+implemented operator (SURVEY.md §2 + training-data pipeline ops);
+``oracle_sql()`` carries the DuckDB twin for every SQL-expressible one
+(the chunker-dependent and iterative ops noted inline are rows-only).
+
+Column names are aligned 1:1 between each Spark query and its oracle;
+doubles are rounded identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +15,336 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from src_to_kb_spark.functions.classify import (
+    oracle_ext_sql,
+    oracle_lang_sql,
+    oracle_type_sql,
+)
+from src_to_kb_spark.operators.canonicalize import (
+    connected_components,
+    oracle_components_sql,
+)
+from src_to_kb_spark.operators.chunker import chunk_documents
+from src_to_kb_spark.operators.dedup import (
+    neardup_pairs,
+    oracle_minhash_ctes,
+    oracle_neardup_sql,
+    oracle_shingles_cte,
+)
+from src_to_kb_spark.operators.extract import extract_pages
+from src_to_kb_spark.operators.linking import link_mentions, oracle_linked_cte
+from src_to_kb_spark.operators.mentions import detect_mentions, oracle_mentions_cte
+from src_to_kb_spark.operators.similarity import knn_brute_force, knn_lsh
+from src_to_kb_spark.operators.textstats import oracle_text_stats_sql, text_stats
+from src_to_kb_spark.operators.triples import (
+    build_triples,
+    doc_triples,
+    mention_triples,
+)
+from src_to_kb_spark.pipeline import run_pipeline
+from src_to_kb_spark.queries.search import (
+    kb_statistics,
+    keywords_of,
+    lang_distribution,
+    oracle_substr_count_sql,
+    search_by_type,
+    search_chunks,
+    search_documents,
+    similar_documents,
+)
+from src_to_kb_spark.sources.gazetteer import gazetteer_df, oracle_gazetteer_cte
+from src_to_kb_spark.sources.pages import ORACLE_PAGES_CTE, load_pages
+
+SEARCH_QUERY = "spark join stream"
+NEARDUP_THRESHOLD = 0.6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages → extract (pandas-UDF cleaner + built-in derivations)."""
+    return extract_pages(load_pages(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline at sf0.001 → (subj, pred, obj)."""
+    pages = load_pages(spark, "/root/testdata/sf0.001")
+    return run_pipeline(spark, pages, neardup_threshold=NEARDUP_THRESHOLD).triples
 
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def q_doc_ingest(spark, sf):
+        return _docs(spark, sf).select(
+            "url", "lang", "ext", "language_ext", "type", "size",
+            "checksum", "lines",
+        )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_lang_distribution(spark, sf):
+        return lang_distribution(_docs(spark, sf))
 
+    def q_kb_stats(spark, sf):
+        return kb_statistics(_docs(spark, sf))
+
+    def q_search_docs(spark, sf):
+        return search_documents(_docs(spark, sf), SEARCH_QUERY, limit=10)
+
+    def q_search_by_type(spark, sf):
+        return search_by_type(_docs(spark, sf), "code")
+
+    def q_similar_docs(spark, sf):
+        docs = _docs(spark, sf)
+        target_url = (
+            load_pages(spark, sf).filter(F.col("doc_id") == 0)
+            .select("url").first()["url"]
+        )
+        return similar_documents(docs, target_url, limit=25)
+
+    def q_mentions(spark, sf):
+        return detect_mentions(_docs(spark, sf), gazetteer_df(spark))
+
+    def q_entity_link(spark, sf):
+        gaz = gazetteer_df(spark)
+        return link_mentions(detect_mentions(_docs(spark, sf), gaz), gaz)
+
+    def q_triples_sql_subset(spark, sf):
+        docs = _docs(spark, sf)
+        gaz = gazetteer_df(spark)
+        linked = link_mentions(detect_mentions(docs, gaz), gaz)
+        return build_triples(doc_triples(docs), mention_triples(linked))
+
+    def q_dedup_exact_groups(spark, sf):
+        docs = _docs(spark, sf)
+        return docs.groupBy(F.col("checksum")).agg(
+            F.count("*").alias("n_docs")
+        )
+
+    def q_neardup_minhash(spark, sf):
+        return neardup_pairs(_docs(spark, sf), threshold=NEARDUP_THRESHOLD)
+
+    def q_neardup_components(spark, sf):
+        docs = _docs(spark, sf)
+        pairs = neardup_pairs(docs, threshold=NEARDUP_THRESHOLD)
+        return connected_components(pairs)
+
+    def q_knn_cosine(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        return knn_brute_force(
+            emb.filter(F.col("vec_id") != 0), [float(x) for x in qv], k=10
+        )
+
+    def q_text_stats(spark, sf):
+        return text_stats(_docs(spark, sf))
+
+    # ---- non-SQL-expressible (chunker / LSH / full pipeline) ----
+
+    def q_chunks(spark, sf):
+        return chunk_documents(_docs(spark, sf)).select(
+            "doc_uid", "url", "chunk_id", "chunk_index", "content",
+            "start_line", "end_line", "size",
+        )
+
+    def q_search_chunks(spark, sf):
+        chunks = chunk_documents(_docs(spark, sf))
+        return search_chunks(chunks, SEARCH_QUERY, mode="developer", limit=10)
+
+    def q_knn_lsh(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        return knn_lsh(
+            emb.filter(F.col("vec_id") != 0), [float(x) for x in qv],
+            k=10, n_bits=4,
+        )
+
+    def q_pipeline_triples(spark, sf):
+        return run_pipeline(
+            spark, load_pages(spark, sf), neardup_threshold=NEARDUP_THRESHOLD
+        ).triples
+
+    return {
+        "doc_ingest": q_doc_ingest,
+        "lang_distribution": q_lang_distribution,
+        "kb_stats": q_kb_stats,
+        "search_docs": q_search_docs,
+        "search_by_type": q_search_by_type,
+        "similar_docs": q_similar_docs,
+        "mentions": q_mentions,
+        "entity_link": q_entity_link,
+        "triples_sql_subset": q_triples_sql_subset,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "neardup_minhash": q_neardup_minhash,
+        "neardup_components": q_neardup_components,
+        "knn_cosine": q_knn_cosine,
+        "text_stats": q_text_stats,
+        "chunks": q_chunks,
+        "search_chunks": q_search_chunks,
+        "knn_lsh": q_knn_lsh,
+        "pipeline_triples": q_pipeline_triples,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracle_sql
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ext = oracle_ext_sql("url")
+    gaz_cte = oracle_gazetteer_cte()
+    pages = ORACLE_PAGES_CTE.strip()  # "WITH pages AS (...)"
+
+    doc_ingest = f"""{pages}
+SELECT url, lang, {ext} AS ext, {oracle_lang_sql(ext)} AS language_ext,
+       {oracle_type_sql(ext)} AS type, size,
+       sha256(text) AS checksum,
+       len(string_split(text, chr(10))) AS lines
+FROM pages
+"""
+
+    lang_dist = f"""{pages}
+SELECT lang, count(*) AS n_docs FROM pages GROUP BY lang
+ORDER BY n_docs DESC, lang
+"""
+
+    kb_stats = f"""{pages}
+SELECT count(*) AS total_documents, sum(size)::BIGINT AS total_size,
+       count(DISTINCT lang) AS n_languages,
+       count(DISTINCT {oracle_type_sql(ext)}) AS n_types
+FROM pages
+"""
+
+    kws = keywords_of(SEARCH_QUERY)
+    score_sql = " + ".join(
+        oracle_substr_count_sql("lower(text)", kw) for kw in kws
+    )
+    search_docs = f"""{pages}
+SELECT url AS key, score FROM (
+  SELECT url, ({score_sql}) AS score FROM pages
+) WHERE score > 0
+ORDER BY score DESC, key
+LIMIT 10
+"""
+
+    search_by_type = f"""{pages}
+SELECT url, lang, {oracle_type_sql(ext)} AS type, size,
+       len(string_split(text, chr(10))) AS lines
+FROM pages
+WHERE {oracle_type_sql(ext)} = 'code' OR lang = 'code'
+"""
+
+    similar_docs = f"""{pages}
+, target AS (
+  SELECT url AS t_url, lang AS t_lang, {oracle_type_sql(ext)} AS t_type
+  FROM pages WHERE doc_id = 0
+)
+SELECT url, lang, type, similarity FROM (
+  SELECT p.url, p.lang, {oracle_type_sql(oracle_ext_sql("p.url"))} AS type,
+         (CASE WHEN p.lang = t.t_lang THEN 2.0 ELSE 0.0 END
+          + CASE WHEN {oracle_type_sql(oracle_ext_sql("p.url"))} = t.t_type THEN 1.0 ELSE 0.0 END
+          + len(list_filter(string_split(t.t_url, '/'),
+                            x -> list_contains(string_split(p.url, '/'), x))) * 0.5
+         )::DOUBLE AS similarity
+  FROM pages p CROSS JOIN target t
+  WHERE p.url <> t.t_url
+) WHERE similarity > 0
+ORDER BY similarity DESC, url
+LIMIT 25
+"""
+
+    mentions = f"""{pages},
+{gaz_cte},
+{oracle_mentions_cte().strip().lstrip(',').strip()}
+SELECT key, norm, n_mentions FROM mentions
+"""
+
+    entity_link = f"""{pages},
+{gaz_cte},
+{oracle_mentions_cte().strip()},
+{oracle_linked_cte().strip().lstrip(',').strip()}
+SELECT key, norm, n_mentions, entity_id, canonical_name, prior, score
+FROM linked
+"""
+
+    triples_sql_subset = f"""{pages},
+{gaz_cte},
+{oracle_mentions_cte().strip()},
+{oracle_linked_cte().strip()}
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT url AS subj, 'has_language' AS pred, lang AS obj FROM pages
+  UNION ALL
+  SELECT url, 'has_type', {oracle_type_sql(ext)} FROM pages
+  UNION ALL
+  SELECT url, 'has_checksum', sha256(text) FROM pages
+  UNION ALL
+  SELECT key, 'mentions', norm FROM linked
+  UNION ALL
+  SELECT key, 'linked_to', canonical_name FROM linked
+)
+"""
+
+    dedup_exact_groups = f"""{pages}
+SELECT sha256(text) AS checksum, count(*) AS n_docs
+FROM pages GROUP BY 1
+"""
+
+    neardup_minhash = f"""{pages},
+{oracle_shingles_cte().strip()},
+{oracle_minhash_ctes().strip()}
+{oracle_neardup_sql(NEARDUP_THRESHOLD)}
+"""
+
+    neardup_components = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
+{oracle_shingles_cte().strip()},
+{oracle_minhash_ctes().strip()},
+pairs AS (
+  SELECT key_a, key_b FROM ({oracle_neardup_sql(NEARDUP_THRESHOLD)})
+)
+{oracle_components_sql('pairs').strip()}
+"""
+
+    knn_cosine = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_dot_product(embedding::DOUBLE[], qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+    ts = oracle_text_stats_sql("text")
+    text_stats_sql = f"""{pages}
+SELECT url AS key, {ts['n_tokens']} AS n_tokens, {ts['n_chars']} AS n_chars,
+       {ts['quality']} AS quality, {ts['lang_id']} AS lang_id,
+       {ts['fingerprint']} AS fingerprint
+FROM pages
+"""
+
+    return {
+        "doc_ingest": doc_ingest,
+        "lang_distribution": lang_dist,
+        "kb_stats": kb_stats,
+        "search_docs": search_docs,
+        "search_by_type": search_by_type,
+        "similar_docs": similar_docs,
+        "mentions": mentions,
+        "entity_link": entity_link,
+        "triples_sql_subset": triples_sql_subset,
+        "dedup_exact_groups": dedup_exact_groups,
+        "neardup_minhash": neardup_minhash,
+        "neardup_components": neardup_components,
+        "knn_cosine": knn_cosine,
+        "text_stats": text_stats_sql,
+        # chunks / search_chunks / knn_lsh / pipeline_triples:
+        # chunker- or LSH- or iteration-dependent → rows-only check.
+    }

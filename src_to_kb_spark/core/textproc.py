@@ -50,6 +50,10 @@ JS_WHITESPACE = _WS_CHARS + _LT_CHARS
 _WS = re.escape(JS_WHITESPACE)  # char-class body for JS \s
 _LT = re.escape(_LT_CHARS)
 
+# Java-regex-safe character class equivalent to JS \s, for use inside
+# Spark's regexp_replace/rlike (Java and Python agree on these escapes).
+JS_WS_CLASS = "[" + "".join(f"\\u{ord(c):04x}" for c in JS_WHITESPACE) + "]"
+
 # /\/\/.*$/gm -- `.` excludes LineTerminators; the `$` anchor is then
 # always satisfied by greediness, so it desugars away.
 _RE_LINE_COMMENT = re.compile(r"//[^" + _LT + r"]*")

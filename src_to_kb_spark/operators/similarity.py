@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* :func:`cosine` — JVM-side higher-order-function cosine (zip_with +
+  aggregate fold): no UDF, whole-stage codegen, deterministic
+  left-to-right double summation.
+* :func:`knn_brute_force` — exact top-k against a query vector:
+  broadcast the query, map-side score, global top-k (``orderBy +
+  limit`` → Spark's TakeOrderedAndProject, which is a per-partition
+  top-k + driver merge, NOT a full sort/shuffle).
+* :func:`lsh_bucket` / :func:`knn_lsh` — the scale path: random
+  hyperplane (SimHash) bucketing with md5-derived deterministic
+  hyperplanes; candidates = same bucket, exact re-rank inside.  At
+  100 TB brute force is O(N) per query; LSH probes one bucket
+  (~N / 2^bits rows).
+
+The *baseline* brute-force variant is the oracle-checked one; LSH is
+checked for recall against it in pytest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_brute_force(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to ``query_vec`` → (id, cos_sim)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
+    vals: list[float] = []
+    counter = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"plane:{plane_idx}:{counter}".encode()).digest()
+        for i in range(0, 16, 2):
+            vals.append((int.from_bytes(h[i : i + 2], "big") / 32767.5) - 1.0)
+        counter += 1
+    return vals[:dim]
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_bits: int = 8) -> Column:
+    """SimHash bucket id: sign pattern of ``n_bits`` hyperplane dots."""
+    bucket = F.lit(0)
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, b)])
+        bucket = bucket * 2 + F.when(_dot(vec_col, plane) >= 0, 1).otherwise(0)
+    return bucket
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's SimHash bucket.
+
+    On a partitioned table the bucket is a partition-pruned scan; here
+    it is a pushed-down filter.  Recall measured in tests vs brute
+    force.
+    """
+    if dim is None:
+        dim = len(query_vec)
+    qb = 0
+    for b in range(n_bits):
+        plane = _hyperplane(dim, b)
+        dot = sum(float(x) * p for x, p in zip(query_vec, plane))
+        qb = qb * 2 + (1 if dot >= 0 else 0)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = embeddings.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), dim, n_bits)
+    )
+    return (
+        bucketed.filter(F.col("bucket") == qb)
+        .select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )

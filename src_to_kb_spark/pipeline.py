@@ -1,0 +1,81 @@
+"""End-to-end KG-construction pipeline composition (SURVEY.md §7.2).
+
+pages → extract → chunk → mentions → link → near-dup canonicalize →
+triples.  Each stage is a pure DataFrame→DataFrame function; this
+module only composes them and (optionally) persists each stage's
+output — the resume unit at scale (every stage writes its own
+partitioned table; restart anti-joins committed keys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.canonicalize import connected_components
+from .operators.chunker import chunk_documents
+from .operators.dedup import neardup_pairs
+from .operators.extract import extract_pages
+from .operators.linking import link_mentions
+from .operators.mentions import detect_mentions
+from .operators.triples import (
+    build_triples,
+    chunk_triples,
+    doc_triples,
+    mention_triples,
+    same_as_triples,
+)
+from .sources.gazetteer import gazetteer_df
+from .sources.pages import load_pages
+
+
+@dataclass
+class PipelineResult:
+    documents: DataFrame
+    chunks: DataFrame
+    mentions: DataFrame
+    linked: DataFrame
+    components: DataFrame
+    triples: DataFrame
+    metrics: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    chunk_size: int = 1000,
+    overlap: int = 200,
+    neardup_threshold: float = 0.8,
+    include_chunk_triples: bool = True,
+) -> PipelineResult:
+    gaz = gazetteer_df(spark)
+
+    documents = extract_pages(pages)
+    chunks = chunk_documents(documents, chunk_size, overlap)
+    mentions = detect_mentions(documents, gaz)
+    linked = link_mentions(mentions, gaz)
+    pairs = neardup_pairs(documents, threshold=neardup_threshold)
+    components = connected_components(
+        pairs, nodes=documents.select(F.col("url").alias("key"))
+    )
+
+    parts = [doc_triples(documents), mention_triples(linked),
+             same_as_triples(components)]
+    if include_chunk_triples:
+        parts.append(chunk_triples(chunks))
+    triples = build_triples(*parts)
+
+    return PipelineResult(
+        documents=documents,
+        chunks=chunks,
+        mentions=mentions,
+        linked=linked,
+        components=components,
+        triples=triples,
+    )
+
+
+def run_pipeline_sf(spark: SparkSession, sf_dir: str, **kw) -> PipelineResult:
+    return run_pipeline(spark, load_pages(spark, sf_dir), **kw)

@@ -1,0 +1,235 @@
+"""Query layer: reference-equal search / stats / similar / modes
+(SURVEY.md §2.6-2.9; search.js + modes.js) as DataFrame functions.
+
+Two search granularities:
+
+* :func:`search_documents` — document-level keyword relevance, pure
+  built-ins, shared formula with the DuckDB oracle (substring
+  occurrence counting — identical non-overlapping scan semantics to
+  the reference's ``new RegExp(kw,'gi')`` for plain-text keywords).
+* :func:`search_chunks` — the reference's exact chunk-level pipeline
+  (J1 scoring, J2 snippet extraction + dedup, F2 mode exclusion,
+  O1/O2 ordering, J4 confidence), over the chunker's output.  The
+  keyword-as-regex quirk (search.js:150 — the raw keyword IS a regex)
+  is replicated via ``regexp_count``; queries are trusted input.
+
+Physical shape: scoring is a map-only projection over chunks (the
+keyword list is a literal, not a join); top-k is TakeOrderedAndProject
+(per-partition heap + driver merge), not a global sort.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.textproc import JS_WS_CLASS
+
+# modes.js:11-23 / :45 / :67-72 — JS /i flags → (?i) inline.
+MODE_EXCLUDE: dict[str, list[str]] = {
+    "enduser": [
+        r"(?i)test\.", r"(?i)spec\.", r"(?i)\.test\.", r"(?i)\.spec\.",
+        r"(?i)internal", r"(?i)private", r"(?i)debug", r"(?i)mock",
+        r"(?i)stub", r"(?i)__tests__", r"\.d\.ts$",
+    ],
+    "developer": [],
+    "copilot": [r"(?i)README", r"(?i)CHANGELOG", r"(?i)LICENSE", r"\.md$"],
+}
+# modes.js:25,47,74
+MODE_PRIORITIZE: dict[str, list[str]] = {
+    "enduser": ["documentation", "api", "interface", "public"],
+    "developer": ["code", "test", "config", "architecture", "internal"],
+    "copilot": ["code", "test", "example", "snippet"],
+}
+
+
+def keywords_of(query: str) -> list[str]:
+    """search.js:132-133 — lower-case, split on whitespace runs."""
+    return [k for k in re.split(r"\s+", query.lower()) if k]
+
+
+def _substr_count(text_lower: Column, kw: str) -> Column:
+    """Non-overlapping substring occurrences (shared oracle formula)."""
+    return (
+        (F.length(text_lower) - F.length(F.replace(text_lower, F.lit(kw))))
+        / len(kw)
+    ).cast("long")
+
+
+def oracle_substr_count_sql(text_sql: str, kw: str) -> str:
+    return (
+        f"((length({text_sql}) - length(replace({text_sql}, '{kw}', '')))"
+        f" // {len(kw)})"
+    )
+
+
+def search_documents(
+    docs: DataFrame,
+    query: str,
+    limit: int = 10,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level relevance: score = Σ_kw occurrences in
+    lower(text); keep score > 0; order score desc, key asc; limit
+    (search.js:146-153,192,198 lifted from chunk to doc granularity)."""
+    lt = F.lower(F.col(text_col))
+    score = None
+    for kw in keywords_of(query):
+        c = _substr_count(lt, kw)
+        score = c if score is None else score + c
+    scored = docs.select(
+        F.col(key_col).alias("key"), score.alias("score")
+    ).filter(F.col("score") > 0)
+    return scored.orderBy(F.desc("score"), F.asc("key")).limit(limit)
+
+
+def mode_filter(results: DataFrame, mode: str, path_col: str = "url") -> DataFrame:
+    """F2 — drop rows whose path matches any mode exclude pattern
+    (modes.js:121-133)."""
+    out = results
+    for pat in MODE_EXCLUDE.get(mode, []):
+        out = out.filter(~F.col(path_col).rlike(pat))
+    return out
+
+
+def priority_col(mode: str, path_col: Column, lang_col: Column) -> Column:
+    """O2 — prioritized if path contains any prioritizeTypes substring
+    OR language equals it (modes.js:138-145)."""
+    conds = None
+    for t in MODE_PRIORITIZE.get(mode, []):
+        c = F.lower(path_col).contains(t) | (F.lower(lang_col) == t)
+        conds = c if conds is None else (conds | c)
+    return conds if conds is not None else F.lit(False)
+
+
+def search_chunks(
+    chunks: DataFrame,
+    query: str,
+    mode: str = "developer",
+    limit: int = 10,
+) -> DataFrame:
+    """Reference-exact chunk search (search.js:130-199).
+
+    Input: chunker output (doc_uid, url, lang, chunk_id, content, ...).
+    Output: one row per scoring chunk with score, context snippets,
+    preview, confidence — ordered (priority desc, score desc,
+    chunk_id) and limited.
+    """
+    kws = keywords_of(query)
+    lc = F.lower(F.col("content"))
+
+    score: Column | None = None
+    snippet_cols: list[Column] = []
+    for kw in kws:
+        # J1 — keyword treated as a REGEX, case-insensitive
+        # (search.js:150); count on the lower-cased content.
+        cnt = F.regexp_count(lc, F.lit(kw))
+        score = cnt if score is None else score + cnt
+        # J2 — ±80-char window around the FIRST occurrence, sliced from
+        # original-case content, \s+→' ', strip leading/trailing \W.
+        idx = F.instr(lc, kw)  # 1-based; 0 = no match
+        start = F.greatest(idx - 80, F.lit(1))
+        end = F.least(idx + F.lit(len(kw)) + 80, F.length(lc) + 1)
+        raw = F.substring(F.col("content"), start, end - start)
+        # JS .trim() and /\s+/ use the ECMA whitespace set (incl. NBSP,
+        # FEFF) — wider than Java's \s; use the explicit class.
+        snip = F.regexp_replace(raw, f"^{JS_WS_CLASS}+|{JS_WS_CLASS}+$", "")
+        snip = F.regexp_replace(snip, f"{JS_WS_CLASS}+", " ")
+        snip = F.regexp_replace(snip, r"^\W+", "")
+        snip = F.regexp_replace(snip, r"\W+$", "")
+        snippet_cols.append(F.when(idx > 0, snip))
+
+    snips = F.filter(F.array(*snippet_cols), lambda s: s.isNotNull())
+    # dedup: keep snippet unless an earlier kept one contains its
+    # first 30 chars (search.js:167-169)
+    dedup = F.aggregate(
+        snips,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            F.exists(acc, lambda e: e.contains(F.substring(s, 1, 30))), acc
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+    scored = (
+        chunks.withColumn("score", score)
+        .filter(F.col("score") > 0)
+        .withColumn("context_snippets", dedup)
+        .withColumn("preview", F.substring("content", 1, 200))
+        # J4 — min(score/50, 1) (search.js:353)
+        .withColumn("confidence", F.least(F.col("score") / 50.0, F.lit(1.0)))
+    )
+    filtered = mode_filter(scored, mode)
+    pr = priority_col(mode, F.col("url"), F.col("lang"))
+    return (
+        filtered.withColumn("is_priority", pr)
+        .orderBy(F.desc("is_priority"), F.desc("score"), F.asc("chunk_id"))
+        .limit(limit)
+    )
+
+
+def search_by_type(docs: DataFrame, type_or_lang: str) -> DataFrame:
+    """F3 — type == t OR language == t (search.js:387-402)."""
+    return docs.filter(
+        (F.col("type") == type_or_lang) | (F.col("lang") == type_or_lang)
+    ).select("url", "lang", "type", "size", "lines")
+
+
+def kb_statistics(docs: DataFrame) -> DataFrame:
+    """A3 totals (search.js:404-430) — single row."""
+    return docs.agg(
+        F.count("*").alias("total_documents"),
+        F.sum("size").cast("long").alias("total_size"),
+        F.countDistinct("lang").alias("n_languages"),
+        F.countDistinct("type").alias("n_types"),
+    )
+
+
+def lang_distribution(docs: DataFrame) -> DataFrame:
+    """A2 — group by language, count desc (kb-generator.js:527-539)."""
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("lang"))
+    )
+
+
+def similar_documents(
+    docs: DataFrame, target_key: Column | str, limit: int | None = None
+) -> DataFrame:
+    """J3 — file similarity (search.js:444-478): +2 same language,
+    +1 same type, +0.5 per target path part present in the candidate's
+    parts (duplicates in target counted), keep > 0, sort desc.
+
+    ``target_key`` may be a url literal or a 1-row DataFrame join; we
+    broadcast the single target row and score map-side.
+    """
+    if isinstance(target_key, str):
+        target = docs.filter(F.col("url") == target_key)
+    else:
+        target = docs.filter(F.col("url") == target_key)
+    t = F.broadcast(
+        target.select(
+            F.col("url").alias("t_url"),
+            F.col("lang").alias("t_lang"),
+            F.col("type").alias("t_type"),
+        )
+    )
+    joined = docs.crossJoin(t).filter(F.col("url") != F.col("t_url"))
+    t_parts = F.split(F.col("t_url"), "/")
+    d_parts = F.split(F.col("url"), "/")
+    common = F.size(F.filter(t_parts, lambda p: F.array_contains(d_parts, p)))
+    sim = (
+        F.when(F.col("lang") == F.col("t_lang"), 2.0).otherwise(0.0)
+        + F.when(F.col("type") == F.col("t_type"), 1.0).otherwise(0.0)
+        + common * 0.5
+    )
+    out = (
+        joined.withColumn("similarity", sim)
+        .filter(F.col("similarity") > 0)
+        .select("url", "lang", "type", "similarity")
+        .orderBy(F.desc("similarity"), F.asc("url"))
+    )
+    return out.limit(limit) if limit else out

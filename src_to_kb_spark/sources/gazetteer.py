@@ -60,7 +60,13 @@ def oracle_gazetteer_cte() -> str:
         f"({eid}, '{canon}', '{alias}', '{norm}', {prior})"
         for eid, canon, alias, norm, prior in GAZ_ROWS
     )
+    # prior cast to DOUBLE: DuckDB types VALUES decimals as DECIMAL,
+    # which formats differently from Spark's double (0.60 vs 0.6).
     return (
-        "gazetteer(entity_id, canonical_name, alias, norm, prior) AS (\n"
-        f"  VALUES\n    {values}\n)"
+        "gazetteer AS (\n"
+        "  SELECT entity_id::BIGINT AS entity_id, canonical_name, alias,"
+        " norm, prior::DOUBLE AS prior\n"
+        "  FROM (VALUES\n    "
+        + values
+        + "\n  ) v(entity_id, canonical_name, alias, norm, prior)\n)"
     )
