@@ -1,0 +1,84 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+These tests pin the *plan*, not just the results: broadcast joins stay
+broadcast, map-only stages don't shuffle, parquet scans prune columns,
+and global top-k compiles to TakeOrderedAndProject (per-partition heap
++ driver merge), not a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from src_to_kb_spark.operators.chunker import chunk_documents
+from src_to_kb_spark.operators.extract import extract_pages
+from src_to_kb_spark.operators.linking import link_mentions
+from src_to_kb_spark.operators.mentions import detect_mentions
+from src_to_kb_spark.operators.similarity import knn_brute_force
+from src_to_kb_spark.queries.search import search_documents
+from src_to_kb_spark.sources.gazetteer import gazetteer_df
+from src_to_kb_spark.sources.pages import load_pages, synthetic_pages
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ingest_is_map_only(spark):
+    pages = synthetic_pages(spark, n=20)
+    chunks = chunk_documents(extract_pages(pages))
+    assert "Exchange" not in _plan(chunks), "extract+chunk must not shuffle"
+
+
+def test_mentions_broadcasts_gazetteer(spark):
+    docs = extract_pages(load_pages(spark, SF_SMOKE))
+    m = detect_mentions(docs, gazetteer_df(spark))
+    plan = _plan(m)
+    assert "BroadcastHashJoin" in plan
+    # the only exchange is the aggregation's — token stream filtered
+    # against the broadcast BEFORE any shuffle
+    assert "SortMergeJoin" not in plan
+
+
+def test_linking_broadcasts_gazetteer(spark):
+    docs = extract_pages(load_pages(spark, SF_SMOKE))
+    gaz = gazetteer_df(spark)
+    linked = link_mentions(detect_mentions(docs, gaz), gaz)
+    plan = _plan(linked)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    docs = extract_pages(load_pages(spark, SF_SMOKE))
+    q = search_documents(docs, "spark join", limit=10)
+    assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_knn_no_shuffle_before_topk(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qv = [float(x) for x in emb.first()["embedding"]]
+    q = knn_brute_force(emb, qv, k=10)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1], (
+        "scoring must be map-side only"
+    )
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = load_pages(spark, SF_SMOKE, keep_keys=True)
+    q = docs.select("doc_id")  # url needs source+lang+doc_id only
+    plan = _plan(q)
+    scan = plan[plan.index("FileScan"):].split("\n")[0]
+    assert "text" not in scan, f"text column must be pruned: {scan}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.col("doc_id") == 7
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "IsNotNull(doc_id)" in plan
