@@ -23,6 +23,7 @@ only candidate pairs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,39 +70,54 @@ def shingles(docs: DataFrame, key_col: str = "url", text_col: str = "text") -> D
     )
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(key, i, h) — i-th minhash as the minimum 16-hex-char md5 prefix
-    of ``'{i}|{shingle}'``.  Fixed-width hex min == numeric min."""
-    hid = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("i")
-    hashed = sh.select("key", "shingle", hid).select(
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(key, h0..h{K-1}) — i-th minhash is the minimum 16-hex-char md5
+    prefix of ``'{i}|{shingle}'`` (fixed-width hex min == numeric min).
+
+    All K hashes are projected as columns of the shingle row and
+    reduced with per-column ``min`` in ONE groupBy — a single shuffle
+    of the shingle stream (with map-side partial mins), instead of
+    exploding K× and shuffling K copies.
+    """
+    hashed = sh.select(
         "key",
-        "i",
-        F.substring(
-            F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))),
-            1,
-            16,
-        ).alias("hv"),
+        *[
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))), 1, 16
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
     )
-    return hashed.groupBy("key", "i").agg(F.min("hv").alias("h"))
+    return hashed.groupBy("key").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
 
 
 def band_signatures(
     sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """(key, band, band_sig) — concat of the band's minhashes in i-order."""
+    """(key, band, band_sig) — per-band concat of minhashes in i-order,
+    derived in-row from the signature row (no extra shuffle)."""
     rows_per_band = n_hashes // n_bands
-    return (
-        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("key", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "h"))),
-                    lambda x: x["h"],
-                ),
-                ",",
-            ).alias("band_sig")
-        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("key", F.explode(bands).alias("b")).select(
+        "key", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
     )
 
 
@@ -167,6 +183,104 @@ def neardup_pairs(
     )
 
 
+# --------------------------- SimHash ---------------------------------------
+
+def simhash_py(text: str, bits: int = 64) -> int:
+    """Deterministic 64-bit SimHash over whitespace tokens: per-bit
+    majority vote of md5-derived token hashes.  Shared by the pandas
+    UDF and the pytest twin."""
+    import hashlib as _hl
+
+    acc = [0] * bits
+    t = text.strip().lower()
+    toks = t.split() if t else []
+    for tok in toks:
+        hv = int.from_bytes(_hl.md5(tok.encode()).digest()[:8], "big")
+        for b in range(bits):
+            acc[b] += 1 if (hv >> b) & 1 else -1
+    sig = 0
+    for b in range(bits):
+        if acc[b] > 0:
+            sig |= 1 << b
+    return sig - (1 << 63)  # wrap to signed 64-bit for Spark LongType
+
+
+def make_simhash_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash_udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: simhash_py(t or ""))
+
+    return simhash_udf
+
+
+def simhash_signatures(
+    docs: DataFrame, key_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(key, simhash) — Arrow-batched; map-only."""
+    udf = make_simhash_udf()
+    return docs.select(
+        F.col(key_col).alias("key"), udf(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into 4
+    16-bit blocks (pigeonhole: hamming ≤ 3 → at least one block equal),
+    self-join on (block_idx, block), verify hamming via bit_count.
+
+    The block join is the LSH trick again — candidates per block are
+    tiny, no quadratic pass at scale.
+    """
+    sigs = simhash_signatures(docs, key_col, text_col)
+    blocks = sigs.select(
+        "key",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("key", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )
+
+
 # --------------------------- DuckDB twins ----------------------------------
 
 def oracle_shingles_cte(pages_rel: str = "pages") -> str:
@@ -190,16 +304,26 @@ shingles AS (
 
 def oracle_minhash_ctes() -> str:
     rows_per_band = N_HASHES // N_BANDS
+    mins = ",\n         ".join(
+        f"min(substr(md5('{i}' || '|' || shingle), 1, 16)) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT key, {b} AS band, {sig} AS band_sig FROM sigs".format(
+            b=b,
+            sig=" || ',' || ".join(
+                f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
     return f"""
-hid(i) AS (SELECT unnest(range({N_HASHES}))),
 sigs AS (
-  SELECT key, i, min(substr(md5(i::VARCHAR || '|' || shingle), 1, 16)) AS h
-  FROM shingles, hid GROUP BY 1, 2
+  SELECT key, {mins}
+  FROM shingles GROUP BY key
 ),
 bands AS (
-  SELECT key, (i // {rows_per_band})::INT AS band,
-         string_agg(h, ',' ORDER BY i) AS band_sig
-  FROM sigs GROUP BY 1, 2
+  {band_rows}
 ),
 cand_pairs AS (
   SELECT DISTINCT a.key AS key_a, b.key AS key_b

@@ -64,6 +64,44 @@ def knn_brute_force(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim ≥
+    threshold), cos rounded to 4 dp.
+
+    ``bucketed=False`` is the exact quadratic baseline (oracle-checked);
+    ``bucketed=True`` restricts candidates to equal SimHash buckets —
+    the scale path (bucket join instead of cross join; recall measured
+    against the exact variant in tests).
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    if bucketed:
+        dim = len(embeddings.select(vec_col).first()[0])
+        a = a.withColumn("bucket", lsh_bucket(F.col("v_a"), dim, n_bits))
+        b = b.withColumn("bucket", lsh_bucket(F.col("v_b"), dim, n_bits))
+        joined = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn(
+            "cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 4)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5 bytes."""
     vals: list[float] = []

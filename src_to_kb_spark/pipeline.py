@@ -52,14 +52,18 @@ def run_pipeline(
 ) -> PipelineResult:
     gaz = gazetteer_df(spark)
 
-    documents = extract_pages(pages)
+    # The extract stage feeds four independent consumers (chunker,
+    # mentions, near-dup, doc triples) — persist it once instead of
+    # re-running the UDF scan per branch.  At cluster scale the same
+    # role is played by the stage's committed table.
+    documents = extract_pages(pages).persist()
     chunks = chunk_documents(documents, chunk_size, overlap)
     mentions = detect_mentions(documents, gaz)
     linked = link_mentions(mentions, gaz)
     pairs = neardup_pairs(documents, threshold=neardup_threshold)
-    components = connected_components(
-        pairs, nodes=documents.select(F.col("url").alias("key"))
-    )
+    # No nodes df: singletons never produce same_as edges, so label
+    # propagation only needs the nodes that appear in pairs.
+    components = connected_components(pairs)
 
     parts = [doc_triples(documents), mention_triples(linked),
              same_as_triples(components)]

@@ -1,0 +1,210 @@
+"""Parity tests for the remaining small operators: answer assembly
+(J6), formatBytes (P6), notion page-id (P10), SimHash, embeddings,
+REST sink semantics, KB round-trip ops, multimodal plumbing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from src_to_kb_spark.functions.misc import (
+    extract_notion_page_id,
+    format_bytes,
+    format_notion_page_id,
+    notion_page_id_col,
+)
+from src_to_kb_spark.operators.dedup import simhash_neardup_pairs, simhash_py
+from src_to_kb_spark.operators.embed import embed_chunks, _embed_texts
+from src_to_kb_spark.operators.kbio import (
+    kb_summary,
+    process_single_text,
+    reconstruct_content,
+    verify_upload_completeness,
+)
+from src_to_kb_spark.operators.multimodal import (
+    extract_media_features,
+    sample_frames,
+    synthetic_media,
+)
+from src_to_kb_spark.queries.answers import (
+    generate_answer,
+    is_question,
+    language_set_answer,
+)
+from src_to_kb_spark.sinks.rest import AuthError, send_rows
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "..", "fixtures", "golden_search.json")
+with open(FIXTURE, encoding="utf-8") as f:
+    GOLD = json.load(f)
+
+MODE_NAME = {"developer": "Developer", "enduser": "End User", "copilot": "Copilot"}
+
+
+@pytest.mark.parametrize("key", list(GOLD["answers"].keys()))
+def test_generate_answer_parity(key):
+    """Replay the reference's own (ordered) search results through our
+    generate_answer; outputs must match the reference's generateAnswer
+    byte-for-byte."""
+    mode, query = key.split("||")
+    gold = GOLD["answers"][key]
+    rows = [
+        {
+            "url": r["path"],
+            "lang": r["lang"],
+            "score": r["score"],
+            "context_snippets": r["snippets"],
+            "content": r["content"],
+        }
+        for r in gold["inputs"]
+    ]
+    got = generate_answer(query, rows, mode=mode)
+    exp = gold["result"]
+    assert got["answer"] == exp["answer"]
+    assert got["confidence"] == exp["confidence"]
+    assert got["totalMatches"] == exp["totalMatches"]
+    assert got["topFiles"] == exp["topFiles"]
+    assert MODE_NAME[mode] == exp["mode"]
+
+
+def test_format_bytes_parity():
+    for n, expected in GOLD["formatBytes"].items():
+        assert format_bytes(int(n)) == expected, n
+
+
+def test_notion_page_id():
+    pid = "a" * 8 + "b" * 4 + "c" * 4 + "d" * 4 + "e" * 12
+    url = f"https://notion.so/My-Page-{pid}"
+    assert extract_notion_page_id(url) == pid
+    assert (
+        format_notion_page_id(pid)
+        == "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+    )
+    assert extract_notion_page_id("https://notion.so/nope") is None
+    assert format_notion_page_id("short") == "short"
+
+
+def test_notion_page_id_col(spark):
+    pid = "0123456789abcdef0123456789abcdef"
+    df = spark.createDataFrame(
+        [(f"https://notion.so/X-{pid}",), ("https://notion.so/none",)],
+        "url string",
+    )
+    got = df.select(notion_page_id_col(F.col("url")).alias("pid")).collect()
+    assert got[0]["pid"] == format_notion_page_id(pid)
+    assert got[1]["pid"] is None
+
+
+def test_is_question_and_language_answer():
+    assert is_question("How does chunking work")
+    assert is_question("weird phrasing?")
+    assert not is_question("show me the chunker")
+    rows = [{"lang": "Python"}, {"lang": "Go"}, {"lang": "Python"}]
+    assert language_set_answer(rows) == ["Python", "Go"]
+
+
+def test_simhash_spark_matches_python(spark):
+    # 7 distinct tokens (odd): per-bit vote sums are multiples of 20
+    # with |sum| >= 20, so one extra token can never flip a bit and
+    # the near-dup lands at hamming 0.
+    base = "spark join filter group sort merge hash " * 20
+    texts = [
+        ("u1", base),
+        ("u2", base + " dup"),  # near-identical token distribution
+        ("u3", "completely different words entirely here now"),
+        ("u4", ""),
+    ]
+    df = spark.createDataFrame(texts, "url string, text string")
+    from src_to_kb_spark.operators.dedup import simhash_signatures
+
+    got = {r["key"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    for k, t in texts:
+        assert got[k] == simhash_py(t)
+    pairs = {
+        (p["key_a"], p["key_b"])
+        for p in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert ("u1", "u2") in pairs
+    assert not any("u3" in p for p in pairs)
+
+
+def test_embed_deterministic_unit_norm(spark):
+    df = spark.createDataFrame(
+        [("c1", "spark join stream"), ("c2", "spark join stream"), ("c3", "x")],
+        "chunk_id string, content string",
+    )
+    rows = {r["chunk_id"]: r["embedding"] for r in embed_chunks(df).collect()}
+    assert rows["c1"] == rows["c2"]  # deterministic
+    assert rows["c1"] == [pytest.approx(x, abs=1e-6) for x in
+                          _embed_texts(["spark join stream"], 64)[0]]
+    norm = sum(x * x for x in rows["c1"]) ** 0.5
+    assert norm == pytest.approx(1.0, abs=1e-5)
+
+
+def test_rest_sink_semantics():
+    calls = []
+
+    def flaky_sender(payload):
+        calls.append(payload["id"])
+        if payload["id"] == "fail" :
+            raise RuntimeError("boom")
+
+    rows = [
+        {"doc_uid": "a", "url": "u", "text": "t"},
+        {"doc_uid": "fail", "url": "u", "text": "t"},
+        {"doc_uid": "big", "url": "u", "text": "x" * 500},
+    ]
+    res = send_rows(rows, flaky_sender, retry_delay=0.0, size_gate=300)
+    assert res == {"sent": 1, "skipped_oversize": 1, "failed": 1}
+    assert calls.count("fail") == 3  # 3 retry attempts
+
+    def auth_sender(payload):
+        raise AuthError("401")
+
+    with pytest.raises(AuthError):
+        send_rows(rows[:1], auth_sender, retry_delay=0.0)
+
+
+def test_kbio_roundtrip(spark):
+    docs, chunks = process_single_text(
+        spark, "api/upload.txt", "hello\nworld\n" * 200, chunk_size=120,
+        overlap=40,
+    )
+    assert docs.count() == 1
+    n_chunks = chunks.count()
+    assert n_chunks > 5
+
+    rec = reconstruct_content(chunks).first()["content"]
+    assert rec.startswith("hello\nworld")
+    assert "\n\n" in rec  # overlap-lossy join, like upload.js:187-190
+
+    summary = kb_summary(docs, chunks)
+    assert summary["stats"]["filesProcessed"] == 1
+    assert summary["stats"]["totalChunks"] == n_chunks
+    assert summary["documents"][0]["language"] == "Text"
+
+    from src_to_kb_spark.operators.embed import embed_chunks
+
+    emb = embed_chunks(chunks).filter(F.col("chunk_id").endswith("_0") == False)  # noqa: E712
+    missing = verify_upload_completeness(chunks, emb).collect()
+    assert len(missing) == 1 and missing[0]["n_missing"] == 1
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=24)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 24
+    assert all(len(r["feature"]) == 32 for r in feats)
+    by_url = {r["url"]: r["feature"] for r in feats}
+    feats2 = {r["url"]: r["feature"]
+              for r in extract_media_features(media).collect()}
+    assert by_url == feats2  # deterministic
+
+    frames = sample_frames(media.filter(F.col("kind") == "video")).collect()
+    assert len(frames) == 8 * 3  # 3500ms / 1000ms -> 3 frames per video
+    assert {r["frame_idx"] for r in frames} == {0, 1, 2}
+
+    with pytest.raises(Exception):
+        extract_media_features(media, decode="real").collect()

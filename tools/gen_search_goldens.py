@@ -55,7 +55,12 @@ const log = console.log; console.log = () => {}; console.error = () => {};
 (async () => {
   const gen = new KnowledgeBaseGenerator({ outputPath: kbDir });
   await gen.processRepository(repoDir);
-  const out = { searches: {}, stats: null, byType: {}, similar: {} };
+  const out = { searches: {}, stats: null, byType: {}, similar: {},
+                answers: {}, formatBytes: {} };
+  for (const n of [0, 1, 512, 1023, 1024, 1536, 10240, 1048576, 2621440,
+                   1073741824, 999, 123456789]) {
+    out.formatBytes[n] = gen.formatBytes(n);
+  }
   for (const mode of cfg.modes) {
     const s = new KnowledgeBaseSearch(kbDir, mode);
     for (const q of cfg.queries) {
@@ -64,6 +69,16 @@ const log = console.log; console.log = () => {}; console.error = () => {};
         path: r.documentPath, lang: r.documentLang, score: r.score,
         lines: r.lines, snippets: r.contextSnippets, preview: r.preview,
       }));
+      // answer over the top-10 (reference-ordered) results; we replay
+      // the same inputs into our generate_answer for logic parity
+      const res10 = s.searchLocal(q, { limit: 10 });
+      out.answers[`${mode}||${q}`] = {
+        inputs: res10.map(r => ({
+          path: r.documentPath, lang: r.documentLang, score: r.score,
+          snippets: r.contextSnippets, content: r.fullContent,
+        })),
+        result: s.generateAnswer(q, res10),
+      };
     }
     if (mode === 'developer') {
       out.stats = s.getStatistics();
