@@ -169,6 +169,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, load_pages(spark, sf), neardup_threshold=NEARDUP_THRESHOLD
         ).triples
 
+    def q_embeddings(spark, sf):
+        from src_to_kb_spark.operators.embed import embed_chunks
+
+        return embed_chunks(chunk_documents(_docs(spark, sf)))
+
+    def q_embedding_neardup(spark, sf):
+        from src_to_kb_spark.operators.similarity import embedding_neardup_pairs
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return embedding_neardup_pairs(emb, threshold=0.4)
+
+    def q_simhash_pairs(spark, sf):
+        from src_to_kb_spark.operators.dedup import simhash_neardup_pairs
+
+        return simhash_neardup_pairs(_docs(spark, sf), max_hamming=8)
+
+    def q_reconstruct_content(spark, sf):
+        from src_to_kb_spark.operators.kbio import reconstruct_content
+
+        return reconstruct_content(chunk_documents(_docs(spark, sf)))
+
+    def q_search_answer(spark, sf):
+        from src_to_kb_spark.queries.answers import answer_from_df
+
+        chunks = chunk_documents(_docs(spark, sf))
+        results = search_chunks(chunks, SEARCH_QUERY, mode="developer", limit=10)
+        ans = answer_from_df(SEARCH_QUERY, results)
+        return spark.createDataFrame(
+            [(ans["answer"], float(ans["confidence"]), ans["totalMatches"],
+              ans["mode"])],
+            "answer string, confidence double, total_matches long, mode string",
+        )
+
     return {
         "doc_ingest": q_doc_ingest,
         "lang_distribution": q_lang_distribution,
@@ -188,6 +221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_chunks": q_search_chunks,
         "knn_lsh": q_knn_lsh,
         "pipeline_triples": q_pipeline_triples,
+        "embeddings": q_embeddings,
+        "embedding_neardup": q_embedding_neardup,
+        "simhash_pairs": q_simhash_pairs,
+        "reconstruct_content": q_reconstruct_content,
+        "search_answer": q_search_answer,
     }
 
 
@@ -330,8 +368,21 @@ SELECT url AS key, {ts['n_tokens']} AS n_tokens, {ts['n_chars']} AS n_chars,
 FROM pages
 """
 
+    embedding_neardup = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+"""
+
     return {
         "doc_ingest": doc_ingest,
+        "embedding_neardup": embedding_neardup,
         "lang_distribution": lang_dist,
         "kb_stats": kb_stats,
         "search_docs": search_docs,
