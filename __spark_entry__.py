@@ -362,7 +362,8 @@ LIMIT 10
 
     ts = oracle_text_stats_sql("text")
     text_stats_sql = f"""{pages}
-SELECT url AS key, {ts['n_tokens']} AS n_tokens, {ts['n_chars']} AS n_chars,
+SELECT url AS key, {ts['n_tokens']} AS n_tokens,
+       {ts['n_tokens_bpe']} AS n_tokens_bpe, {ts['n_chars']} AS n_chars,
        {ts['quality']} AS quality, {ts['lang_id']} AS lang_id,
        {ts['fingerprint']} AS fingerprint
 FROM pages

@@ -55,26 +55,30 @@ def _run_once(spark, sf_dir: str) -> tuple[dict[str, float], int]:
 def main() -> None:
     from src_to_kb_spark.session import get_spark
 
-    scaling = "--scaling" in sys.argv
-
-    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
-    t_all = time.time()
-    timings, n_triples = _run_once(spark, SF_DIR)
-    total = round(time.time() - t_all, 3)
-    pipeline_sec = timings.get("pipeline_triples", total)
-    triples_per_sec = round(n_triples / pipeline_sec, 1) if pipeline_sec else 0.0
-    spark.stop()
+    scaling = "--scaling" in sys.argv or "--scaling-only" in sys.argv
+    sweep = "--scaling-only" not in sys.argv
 
     result = {
         "metric": "kg_pipeline_triples_per_sec",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": SF_DIR,
         "cpus": CPUS,
-        "n_triples": n_triples,
-        "triples_per_sec": triples_per_sec,
     }
+    if sweep:
+        spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
+        t_all = time.time()
+        timings, n_triples = _run_once(spark, SF_DIR)
+        total = round(time.time() - t_all, 3)
+        pipeline_sec = timings.get("pipeline_triples", total)
+        spark.stop()
+        result.update(
+            value=total,
+            queries=timings,
+            n_triples=n_triples,
+            triples_per_sec=(
+                round(n_triples / pipeline_sec, 1) if pipeline_sec else 0.0
+            ),
+        )
 
     if scaling:
         scale_results = {}
@@ -98,6 +102,9 @@ def main() -> None:
             **scale_results,
             "efficiency_n_to_4n": round(tp32 / (4 * tp8), 3) if tp8 else None,
         }
+        result.setdefault(
+            "value", scale_results["local[32]"]["sec"]
+        )
 
     print(json.dumps(result))
 

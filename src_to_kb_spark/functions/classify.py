@@ -81,6 +81,24 @@ def is_supported(ext: Column) -> Column:
     return ext.isin(SUPPORTED_EXTS)
 
 
+# kb-generator.js:25-28 — default exclusion substrings (S2).
+DEFAULT_EXCLUDES = [
+    "node_modules", ".git", "dist", "build", ".next",
+    "coverage", ".cache", "vendor", "__pycache__",
+]
+
+
+def should_exclude(path: Column, excludes: list[str] | None = None) -> Column:
+    """S2 — substring containment against the exclude list
+    (kb-generator.js:174-178).  At scale this predicate prunes files
+    before any read, like the reference prunes directories pre-descent."""
+    conds = None
+    for e in excludes if excludes is not None else DEFAULT_EXCLUDES:
+        c = path.contains(e)
+        conds = c if conds is None else (conds | c)
+    return conds if conds is not None else F.lit(False)
+
+
 # --------------------------- DuckDB twins ----------------------------------
 
 def oracle_ext_sql(col: str) -> str:

@@ -28,8 +28,18 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 50,
+    driver_threshold: int | None = 200_000,
 ) -> DataFrame:
-    """edges(key_a, key_b) [+ nodes(key)] → (key, canon_id)."""
+    """edges(key_a, key_b) [+ nodes(key)] → (key, canon_id).
+
+    Hybrid strategy: LSH-verified candidate graphs are sparse, so when
+    the edge set fits comfortably on the driver (≤ ``driver_threshold``
+    edges) a local union-find labels it in one pass — same labels, two
+    jobs total.  Above the threshold (or with ``driver_threshold=None``)
+    the distributed min-label propagation runs; that path is the one
+    that matters at 10^12 documents, where the pair set itself can be
+    billions of rows.
+    """
     sym = edges.select(
         F.col("key_a").alias("src"), F.col("key_b").alias("dst")
     ).union(edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
@@ -37,10 +47,16 @@ def connected_components(
     if nodes is not None:
         node_df = node_df.union(nodes.select("key")).distinct()
 
-    labels = node_df.select("key", F.col("key").alias("label")).localCheckpoint()
-    sym = sym.localCheckpoint()
+    if driver_threshold is not None:
+        sym = sym.localCheckpoint()
+        if sym.count() <= driver_threshold:
+            return _components_driver(edges.sparkSession, sym, node_df)
 
-    for _ in range(max_iter):
+    labels = node_df.select("key", F.col("key").alias("label")).localCheckpoint()
+    if driver_threshold is None:
+        sym = sym.localCheckpoint()
+
+    for it in range(max_iter):
         # min label over closed neighborhood
         neighbor_labels = (
             sym.join(labels, sym.dst == labels.key)
@@ -51,7 +67,12 @@ def connected_components(
             .union(neighbor_labels)
             .groupBy("key")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        )
+        # truncate lineage every few rounds; cache in between
+        if it % 4 == 3:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "key")
@@ -64,6 +85,32 @@ def connected_components(
             break
 
     return labels.select("key", F.col("label").alias("canon_id"))
+
+
+def _components_driver(spark, sym: DataFrame, node_df: DataFrame) -> DataFrame:
+    """Union-find on collected edges — the small-graph fast path."""
+    pairs = [(r["src"], r["dst"]) for r in sym.collect()]
+    nodes = {r["key"] for r in node_df.collect()}
+    parent: dict[str, str] = {n: n for n in nodes}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[str, list[str]] = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    rows = []
+    for members in groups.values():
+        canon = min(members)
+        rows.extend((m, canon) for m in members)
+    return spark.createDataFrame(rows, "key string, canon_id string")
 
 
 def oracle_components_sql(edges_cte: str = "pairs") -> str:

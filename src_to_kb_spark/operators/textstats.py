@@ -56,6 +56,14 @@ def lang_id(text: Column) -> Column:
     )
 
 
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: word runs and individual
+    non-word-non-space characters counted separately — the cheap
+    stand-in for a BPE tokenizer's token count, as a pure regexp
+    expression (regexp_count is JVM-side)."""
+    return F.regexp_count(text, F.lit(r"\w+|[^\w\s]")).cast("long")
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lower text."""
     return F.md5(F.array_join(_tokens(text), " "))
@@ -66,6 +74,7 @@ def text_stats(docs: DataFrame, key_col: str = "url", text_col: str = "text") ->
     return docs.select(
         F.col(key_col).alias("key"),
         token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
         F.length(t).cast("long").alias("n_chars"),
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_id"),
@@ -87,6 +96,9 @@ def oracle_text_stats_sql(col: str = "text") -> dict[str, str]:
     dens = f"(CASE WHEN {n} > 0 THEN {sw} / {n} * 100.0 ELSE 0.0 END)"
     return {
         "n_tokens": f"len({toks})",
+        "n_tokens_bpe": (
+            f"len(regexp_extract_all({col}, '\\w+|[^\\w\\s]'))"
+        ),
         "n_chars": f"length({col})",
         "quality": (
             f"round(0.4 * least({n} / 100.0, 1.0) + 0.3 * ({distinct_n} / {n})"

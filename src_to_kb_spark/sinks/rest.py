@@ -88,6 +88,14 @@ def send_rows(
     return {"sent": sent, "skipped_oversize": skipped, "failed": failed}
 
 
+def validate_sink(sender: Callable[[dict], Any]) -> None:
+    """E2 — preflight validation before any processing
+    (validation-utils.js:13-89, invoked kb-generator.js:86-94): one
+    probe call, fail-fast on any error.  Driver-side precondition
+    before job submit."""
+    sender({"probe": True})
+
+
 def sink_documents(
     docs: DataFrame,
     sender_factory: Callable[[], Callable[[dict], Any]],

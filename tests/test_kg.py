@@ -50,12 +50,16 @@ GOLDEN_GRAPHS = [
 ]
 
 
+@pytest.mark.parametrize("driver_threshold", [200_000, None],
+                         ids=["driver-path", "distributed-path"])
 @pytest.mark.parametrize("edges,expected", GOLDEN_GRAPHS)
-def test_connected_components_golden(spark, edges, expected):
+def test_connected_components_golden(spark, edges, expected, driver_threshold):
     edf = spark.createDataFrame(edges, "key_a string, key_b string")
     got = {
         r["key"]: r["canon_id"]
-        for r in connected_components(edf).collect()
+        for r in connected_components(
+            edf, driver_threshold=driver_threshold
+        ).collect()
     }
     assert got == expected
     # python union-find twin agrees
