@@ -81,19 +81,35 @@ def main() -> None:
         )
 
     if scaling:
+        # Scaling evidence (north_rule, sandbox proxy): the SAME input
+        # at two parallelism levels.  The input is replicated
+        # deterministically (unique urls per copy) so the job is
+        # compute-bound rather than fixed-overhead-bound at local test
+        # scale — throughput must then track cores.
+        replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "8"))
         scale_results = {}
         for cpus in (8, 32):
             s = get_spark(f"bench-scale-{cpus}", cpus=cpus,
                           shuffle_partitions=max(cpus, 8))
-            import __spark_entry__ as entrymod
+            from pyspark.sql import functions as F
 
-            qs = entrymod.queries()
+            from src_to_kb_spark.pipeline import run_pipeline
+            from src_to_kb_spark.sources.pages import load_pages
+
+            pages = load_pages(s, SF_DIR)
+            copies = F.explode(
+                F.array(*[F.lit(i) for i in range(replicate)])
+            ).alias("copy")
+            pages_scaled = pages.select("*", copies).withColumn(
+                "url", F.concat_ws("?r=", F.col("url"), F.col("copy"))
+            ).drop("copy")
             t0 = time.time()
-            n = qs["pipeline_triples"](s, SF_DIR).count()
+            n = run_pipeline(s, pages_scaled, neardup_threshold=0.6).triples.count()
             dt = time.time() - t0
             scale_results[f"local[{cpus}]"] = {
                 "sec": round(dt, 3),
                 "triples_per_sec": round(n / dt, 1),
+                "replicate": replicate,
             }
             s.stop()
         tp8 = scale_results["local[8]"]["triples_per_sec"]

@@ -158,13 +158,16 @@ def neardup_pairs(
     sh = shingles(docs, key_col, text_col).cache()
     cands = pairs_from_shingles(sh)
     sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    # Equi-join on (key, shingle) — joining on key alone and filtering
+    # shingle equality afterwards would build a per-pair cartesian of
+    # the two shingle sets (O(|A|·|B|) per candidate), which explodes
+    # as soon as the candidate set is non-trivial.
     common = (
         cands.join(sh.select(F.col("key").alias("key_a"), "shingle"), "key_a")
         .join(
-            sh.select(F.col("key").alias("key_b"), F.col("shingle").alias("sh_b")),
-            "key_b",
+            sh.select(F.col("key").alias("key_b"), "shingle"),
+            ["key_b", "shingle"],
         )
-        .filter(F.col("shingle") == F.col("sh_b"))
         .groupBy("key_a", "key_b")
         .agg(F.count("*").alias("n_common"))
     )

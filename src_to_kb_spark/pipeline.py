@@ -49,8 +49,20 @@ def run_pipeline(
     overlap: int = 200,
     neardup_threshold: float = 0.8,
     include_chunk_triples: bool = True,
+    repartition_input: bool = True,
 ) -> PipelineResult:
     gaz = gazetteer_df(spark)
+
+    if repartition_input:
+        # Salted repartition on (url_host, xxhash64(url) % salt): spreads
+        # hot hosts AND guarantees the map stages actually fan out — a
+        # small parquet input may arrive as one partition, which would
+        # serialize the Arrow UDF stages regardless of cluster size.
+        from .runtime.skew import salted_repartition
+
+        pages = salted_repartition(
+            pages, n_partitions=spark.sparkContext.defaultParallelism
+        )
 
     # The extract stage feeds four independent consumers (chunker,
     # mentions, near-dup, doc triples) — persist it once instead of
