@@ -40,21 +40,25 @@ def connected_components(
     that matters at 10^12 documents, where the pair set itself can be
     billions of rows.
     """
-    sym = edges.select(
-        F.col("key_a").alias("src"), F.col("key_b").alias("dst")
-    ).union(edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
+    # Checkpoint the symmetrized edges FIRST and derive the node set
+    # from the checkpointed plan — deriving it from the pre-checkpoint
+    # plan would re-run the (expensive) upstream pair computation a
+    # second time when nodes are materialized.
+    sym = (
+        edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
+        .union(
+            edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
     node_df = sym.select(F.col("src").alias("key")).distinct()
     if nodes is not None:
         node_df = node_df.union(nodes.select("key")).distinct()
 
-    if driver_threshold is not None:
-        sym = sym.localCheckpoint()
-        if sym.count() <= driver_threshold:
-            return _components_driver(edges.sparkSession, sym, node_df)
+    if driver_threshold is not None and sym.count() <= driver_threshold:
+        return _components_driver(edges.sparkSession, sym, node_df)
 
     labels = node_df.select("key", F.col("key").alias("label")).localCheckpoint()
-    if driver_threshold is None:
-        sym = sym.localCheckpoint()
 
     for it in range(max_iter):
         # min label over closed neighborhood

@@ -13,18 +13,19 @@ strings so the DuckDB oracle computes bit-identical values.
 * :func:`neardup_pairs` — candidates verified with true 3-shingle
   Jaccard ≥ threshold.
 
-Scale shape: shingling + hashing are map-only; the per-(doc, hash-id)
-minimum and the band groupBy are partial-agg shuffles over K×docs
-small rows; the candidate self-join is on band signature (bounded
-bucket sizes — banding exists precisely to keep buckets tiny at 100 TB,
-versus the quadratic brute-force join); Jaccard verification touches
-only candidate pairs.
+Scale shape: shingling, minhashing, and banding are ALL computed
+in-row with array expressions (``transform``/``array_min``) — map-only,
+no token-stream shuffle at all.  The only shuffles are the band
+self-join (bounded bucket sizes — banding exists precisely to keep
+buckets tiny at 100 TB, versus the quadratic brute-force join) and the
+Jaccard verification, which explodes shingles only for keys that
+survived candidate generation (semi-join first).
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_HASHES = 8
@@ -44,43 +45,68 @@ def exact_duplicates(docs: DataFrame, key_col: str = "url", text_col: str = "tex
     )
 
 
-def shingles(docs: DataFrame, key_col: str = "url", text_col: str = "text") -> DataFrame:
-    """(key, shingle) — distinct 3-token shingles via lead() windows.
+def shingle_array(text_col) -> "F.Column":
+    """array<string> of distinct 3-token shingles, built in-row (no
+    explode, no window, no shuffle): tokens via ``split``, windows via
+    ``transform`` over an index sequence.  Same shingle set as the
+    DuckDB oracle's lead()-window construction."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(toks)
+    # Zip three pre-sliced views of the token array and let the lambda
+    # touch only its struct element: referencing `toks` inside the
+    # lambda (e.g. element_at(toks, i)) would re-evaluate the split()
+    # once per element — O(n²) per document.
+    z = F.arrays_zip(
+        F.slice(toks, 1, n - 2), F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2)
+    )
+    sh = F.transform(z, lambda x: F.concat_ws(" ", x["0"], x["1"], x["2"]))
+    return F.when(n >= 3, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
-    The window runs per document (partitioned by key, ordered by token
-    position) — identical construction to the DuckDB oracle, and at
-    scale a per-doc-local sort, not a global one.
-    """
-    toks = docs.select(
+
+def shingles(docs: DataFrame, key_col: str = "url", text_col: str = "text") -> DataFrame:
+    """(key, shingle) — distinct 3-token shingles; map-only."""
+    return docs.select(
         F.col(key_col).alias("key"),
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "pos", "token"
-        ),
+        F.explode(shingle_array(F.col(text_col))).alias("shingle"),
     )
-    w = Window.partitionBy("key").orderBy("pos")
-    return (
-        toks.withColumn("t1", F.lead("token", 1).over(w))
-        .withColumn("t2", F.lead("token", 2).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select(
-            "key",
-            F.concat_ws(" ", "token", "t1", "t2").alias("shingle"),
+
+
+def shingle_sets(
+    docs: DataFrame, key_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(key, sh) with sh: array<string> — the un-exploded form used by
+    the map-only minhash path."""
+    return docs.select(
+        F.col(key_col).alias("key"),
+        shingle_array(F.col(text_col)).alias("sh"),
+    )
+
+
+def _minhash_cols(sh_arr, n_hashes: int = N_HASHES) -> list:
+    """h_i = array_min over md5('{i}|'||shingle) 16-hex prefixes —
+    fixed-width hex min == numeric min; computed in-row."""
+
+    def hash_fn(i: int):
+        # single-arg lambda: a two-arg callable would make transform()
+        # bind the second arg to the ARRAY INDEX, clobbering i
+        return lambda s: F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(i)), s)), 1, 16
         )
-        .distinct()
-    )
+
+    return [
+        F.array_min(F.transform(sh_arr, hash_fn(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
 
 
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """(key, h0..h{K-1}) — i-th minhash is the minimum 16-hex-char md5
-    prefix of ``'{i}|{shingle}'`` (fixed-width hex min == numeric min).
-
-    All K hashes are projected as columns of the shingle row and
-    reduced with per-column ``min`` in ONE groupBy — a single shuffle
-    of the shingle stream (with map-side partial mins), instead of
-    exploding K× and shuffling K copies.
-    """
+    """(key, h0..h{K-1}) from exploded (key, shingle) rows — kept for
+    oracle-shaped inputs; the pipeline path uses
+    :func:`minhash_signatures_from_sets` (zero-shuffle)."""
     hashed = sh.select(
         "key",
         *[
@@ -92,6 +118,17 @@ def minhash_signatures(
     )
     return hashed.groupBy("key").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
+def minhash_signatures_from_sets(
+    sets_df: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(key, h0..h{K-1}) computed entirely in-row from (key, sh) —
+    map-only; empty shingle sets (docs with <3 tokens) drop out, same
+    as the exploded form."""
+    return sets_df.filter(F.size("sh") > 0).select(
+        "key", *_minhash_cols(F.col("sh"), n_hashes)
     )
 
 
@@ -121,9 +158,8 @@ def band_signatures(
     )
 
 
-def pairs_from_shingles(sh: DataFrame) -> DataFrame:
+def _band_pairs(bands: DataFrame) -> DataFrame:
     """Distinct (key_a, key_b), key_a < key_b, sharing ≥1 LSH band."""
-    bands = band_signatures(minhash_signatures(sh))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -138,10 +174,18 @@ def pairs_from_shingles(sh: DataFrame) -> DataFrame:
     )
 
 
+def pairs_from_shingles(sh: DataFrame) -> DataFrame:
+    return _band_pairs(band_signatures(minhash_signatures(sh)))
+
+
 def neardup_candidate_pairs(
     docs: DataFrame, key_col: str = "url", text_col: str = "text"
 ) -> DataFrame:
-    return pairs_from_shingles(shingles(docs, key_col, text_col))
+    return _band_pairs(
+        band_signatures(
+            minhash_signatures_from_sets(shingle_sets(docs, key_col, text_col))
+        )
+    )
 
 
 def neardup_pairs(
@@ -154,10 +198,31 @@ def neardup_pairs(
 
     → (key_a, key_b, jaccard) with jaccard rounded to 6 dp for stable
     cross-engine comparison.
+
+    Plan shape: shingle sets + minhash + bands are one map-only
+    projection over docs (cached); the band self-join produces the
+    (small) candidate set; verification explodes shingles only for
+    keys that appear in some candidate pair (semi-join), so the heavy
+    (key, shingle) equi-join runs over candidates' shingles, not the
+    whole corpus.
     """
-    sh = shingles(docs, key_col, text_col).cache()
-    cands = pairs_from_shingles(sh)
-    sizes = sh.groupBy("key").agg(F.count("*").alias("n_sh"))
+    sets_df = shingle_sets(docs, key_col, text_col).cache()
+    # cands feeds three consumers (two key projections + the common-
+    # shingle join); cache the tiny pair set so the band self-join and
+    # the in-row minhash over the full corpus run exactly once.
+    cands = _band_pairs(
+        band_signatures(minhash_signatures_from_sets(sets_df))
+    ).cache()
+    cand_keys = (
+        cands.select(F.col("key_a").alias("key"))
+        .union(cands.select(F.col("key_b").alias("key")))
+        .distinct()
+    )
+    sh = (
+        sets_df.join(cand_keys, "key", "left_semi")
+        .select("key", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    )
+    sizes = sh.select("key", "n_sh").distinct()
     # Equi-join on (key, shingle) — joining on key alone and filtering
     # shingle equality afterwards would build a per-pair cartesian of
     # the two shingle sets (O(|A|·|B|) per candidate), which explodes
