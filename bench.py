@@ -86,7 +86,10 @@ def main() -> None:
         # deterministically (unique urls per copy) so the job is
         # compute-bound rather than fixed-overhead-bound at local test
         # scale — throughput must then track cores.
-        replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "8"))
+        # 64× replication (~320k docs at sf0.1) makes the job compute-
+        # dominated; below that, fixed per-job overhead (barriers,
+        # Python-worker spin-up) swamps the core-count signal.
+        replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "64"))
         scale_results = {}
         for cpus in (8, 32):
             s = get_spark(f"bench-scale-{cpus}", cpus=cpus,

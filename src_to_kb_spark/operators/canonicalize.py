@@ -28,17 +28,20 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 50,
-    driver_threshold: int | None = 200_000,
+    driver_threshold: int | None = 5_000_000,
 ) -> DataFrame:
     """edges(key_a, key_b) [+ nodes(key)] → (key, canon_id).
 
     Hybrid strategy: LSH-verified candidate graphs are sparse, so when
     the edge set fits comfortably on the driver (≤ ``driver_threshold``
     edges) a local union-find labels it in one pass — same labels, two
-    jobs total.  Above the threshold (or with ``driver_threshold=None``)
-    the distributed min-label propagation runs; that path is the one
-    that matters at 10^12 documents, where the pair set itself can be
-    billions of rows.
+    jobs total.  A few million collected edge rows is well within any
+    driver's budget and union-find is near-linear, whereas each
+    label-propagation round costs several barriered jobs — so the
+    threshold is deliberately generous.  Above it (or with
+    ``driver_threshold=None``) the distributed min-label propagation
+    runs; that path is the one that matters at 10^12 documents, where
+    the pair set itself can be billions of rows.
     """
     # Checkpoint the symmetrized edges FIRST and derive the node set
     # from the checkpointed plan — deriving it from the pre-checkpoint

@@ -1,8 +1,9 @@
 """Deduplication family over ``documents``/``pages`` (training-data
 pipeline operators; graded first-class alongside SURVEY.md §2).
 
-All variants are pure Catalyst expressions — hashing via ``md5`` hex
-strings so the DuckDB oracle computes bit-identical values.
+Hashing is ``md5`` hex strings everywhere (hashlib in the Arrow UDFs,
+``F.md5``/DuckDB ``md5`` in the twins) so all three engines compute
+bit-identical values.
 
 * :func:`exact_duplicates` — hash-groupBy on the content checksum.
 * :func:`shingles` / :func:`minhash_signatures` /
@@ -13,20 +14,30 @@ strings so the DuckDB oracle computes bit-identical values.
 * :func:`neardup_pairs` — candidates verified with true 3-shingle
   Jaccard ≥ threshold.
 
-Scale shape: shingling, minhashing, and banding are ALL computed
-in-row with array expressions (``transform``/``array_min``) — map-only,
-no token-stream shuffle at all.  The only shuffles are the band
-self-join (bounded bucket sizes — banding exists precisely to keep
-buckets tiny at 100 TB, versus the quadratic brute-force join) and the
-Jaccard verification, which explodes shingles only for keys that
-survived candidate generation (semi-join first).
+Scale shape: shingling, minhashing, and banding are computed in ONE
+Arrow-batched pandas UDF pass over the corpus — map-only, no
+token-stream shuffle at all.  (An earlier all-Catalyst variant used
+``transform``/``array_min`` higher-order functions; HOFs evaluate
+interpreted — reflection-heavy per-call ``MessageDigest`` churn that
+gets *slower* with more threads — while hashlib md5 in the Arrow batch
+is plain C.)  The only shuffles are the band self-join (bounded bucket
+sizes — banding exists precisely to keep buckets tiny at 100 TB,
+versus the quadratic brute-force join) and the Jaccard verification,
+which joins the (tiny) candidate pair set back to the per-key shingle
+arrays and counts intersections vectorized in pandas.
 """
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+# Java String.trim strips chars <= U+0020 from both ends.
+_JAVA_TRIM = _re.compile(r"^[\x00-\x20]+|[\x00-\x20]+$")
 
 N_HASHES = 8
 N_BANDS = 2  # 4 rows per band
@@ -45,68 +56,91 @@ def exact_duplicates(docs: DataFrame, key_col: str = "url", text_col: str = "tex
     )
 
 
-def shingle_array(text_col) -> "F.Column":
-    """array<string> of distinct 3-token shingles, built in-row (no
-    explode, no window, no shuffle): tokens via ``split``, windows via
-    ``transform`` over an index sequence.  Same shingle set as the
-    DuckDB oracle's lead()-window construction."""
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    n = F.size(toks)
-    # Zip three pre-sliced views of the token array and let the lambda
-    # touch only its struct element: referencing `toks` inside the
-    # lambda (e.g. element_at(toks, i)) would re-evaluate the split()
-    # once per element — O(n²) per document.
-    z = F.arrays_zip(
-        F.slice(toks, 1, n - 2), F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2)
-    )
-    sh = F.transform(z, lambda x: F.concat_ws(" ", x["0"], x["1"], x["2"]))
-    return F.when(n >= 3, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+def shingle_py(text: str) -> list[str]:
+    """Distinct 3-token shingles of lower-cased, Java-``\\s``-split
+    text, preserving first-occurrence order.  Semantics pinned to the
+    Catalyst/DuckDB twin: ``split(lower(trim(text)), '\\s+')`` with
+    Java's ASCII ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]`` (Python's
+    ``str.split`` would also strip Unicode whitespace — wrong here)."""
+    t = _JAVA_TRIM.sub("", text or "").lower()
+    toks = _JAVA_WS.split(t) if t else []
+    if len(toks) < 3:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - 2):
+        seen.setdefault(" ".join(toks[i : i + 3]), None)
+    return list(seen)
+
+
+def minhash_bands_py(sh: list[str], n_hashes: int = N_HASHES,
+                     n_bands: int = N_BANDS) -> list[str] | None:
+    """Band signatures from a shingle list: h_i = min over shingles of
+    the 16-hex-char prefix of md5('{i}|{shingle}'); bands concatenate
+    rows_per_band h's with ','.  None for empty shingle sets."""
+    import hashlib as _hl
+
+    if not sh:
+        return None
+    enc = [s.encode("utf-8") for s in sh]
+    mins = []
+    for i in range(n_hashes):
+        pref = f"{i}|".encode()
+        mins.append(min(_hl.md5(pref + e).hexdigest()[:16] for e in enc))
+    rpb = n_hashes // n_bands
+    return [",".join(mins[b * rpb : (b + 1) * rpb]) for b in range(n_bands)]
+
+
+def make_shingle_features_udf():
+    """pandas UDF: text -> struct(sh: array<string>, bands: array<string>).
+
+    One Arrow-batched pass computes both the shingle set (for exact
+    Jaccard verification) and the LSH band signatures (for candidate
+    generation).  hashlib md5 is C — no JVM MessageDigest reflection,
+    no interpreted higher-order-function evaluation."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<sh: array<string>, bands: array<string>>")
+    def feats_udf(text: pd.Series) -> pd.DataFrame:
+        sh = text.map(shingle_py)
+        bands = sh.map(minhash_bands_py)
+        return pd.DataFrame({"sh": sh, "bands": bands})
+
+    return feats_udf
 
 
 def shingles(docs: DataFrame, key_col: str = "url", text_col: str = "text") -> DataFrame:
     """(key, shingle) — distinct 3-token shingles; map-only."""
-    return docs.select(
-        F.col(key_col).alias("key"),
-        F.explode(shingle_array(F.col(text_col))).alias("shingle"),
+    return shingle_sets(docs, key_col, text_col).select(
+        "key", F.explode("sh").alias("shingle")
     )
 
 
 def shingle_sets(
     docs: DataFrame, key_col: str = "url", text_col: str = "text"
 ) -> DataFrame:
-    """(key, sh) with sh: array<string> — the un-exploded form used by
-    the map-only minhash path."""
+    """(key, sh) with sh: array<string> — the un-exploded form."""
+    udf = make_shingle_features_udf()
     return docs.select(
-        F.col(key_col).alias("key"),
-        shingle_array(F.col(text_col)).alias("sh"),
+        F.col(key_col).alias("key"), udf(F.col(text_col))["sh"].alias("sh")
     )
 
 
-def _minhash_cols(sh_arr, n_hashes: int = N_HASHES) -> list:
-    """h_i = array_min over md5('{i}|'||shingle) 16-hex prefixes —
-    fixed-width hex min == numeric min; computed in-row."""
-
-    def hash_fn(i: int):
-        # single-arg lambda: a two-arg callable would make transform()
-        # bind the second arg to the ARRAY INDEX, clobbering i
-        return lambda s: F.substring(
-            F.md5(F.concat_ws("|", F.lit(str(i)), s)), 1, 16
-        )
-
-    return [
-        F.array_min(F.transform(sh_arr, hash_fn(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+def shingle_features(
+    docs: DataFrame, key_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(key, sh: array<string>, bands: array<string>) in one UDF pass."""
+    udf = make_shingle_features_udf()
+    return docs.select(
+        F.col(key_col).alias("key"), udf(F.col(text_col)).alias("f")
+    ).select("key", F.col("f.sh").alias("sh"), F.col("f.bands").alias("bands"))
 
 
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """(key, h0..h{K-1}) from exploded (key, shingle) rows — kept for
-    oracle-shaped inputs; the pipeline path uses
-    :func:`minhash_signatures_from_sets` (zero-shuffle)."""
+    """(key, h0..h{K-1}) from exploded (key, shingle) rows — the
+    all-Catalyst twin of :func:`minhash_bands_py`, kept for tests that
+    cross-check the UDF against native md5 semantics."""
     hashed = sh.select(
         "key",
         *[
@@ -121,40 +155,11 @@ def minhash_signatures(
     )
 
 
-def minhash_signatures_from_sets(
-    sets_df: DataFrame, n_hashes: int = N_HASHES
-) -> DataFrame:
-    """(key, h0..h{K-1}) computed entirely in-row from (key, sh) —
-    map-only; empty shingle sets (docs with <3 tokens) drop out, same
-    as the exploded form."""
-    return sets_df.filter(F.size("sh") > 0).select(
-        "key", *_minhash_cols(F.col("sh"), n_hashes)
-    )
-
-
-def band_signatures(
-    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
-) -> DataFrame:
-    """(key, band, band_sig) — per-band concat of minhashes in i-order,
-    derived in-row from the signature row (no extra shuffle)."""
-    rows_per_band = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{i}")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                ).alias("band_sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    return sigs.select("key", F.explode(bands).alias("b")).select(
-        "key", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
+def _band_rows(feats: DataFrame) -> DataFrame:
+    """(key, band, band_sig) from the features table (band index =
+    position in the bands array); docs with no shingles drop out."""
+    return feats.filter(F.col("bands").isNotNull()).select(
+        "key", F.posexplode("bands").alias("band", "band_sig")
     )
 
 
@@ -174,18 +179,24 @@ def _band_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def pairs_from_shingles(sh: DataFrame) -> DataFrame:
-    return _band_pairs(band_signatures(minhash_signatures(sh)))
-
-
 def neardup_candidate_pairs(
     docs: DataFrame, key_col: str = "url", text_col: str = "text"
 ) -> DataFrame:
-    return _band_pairs(
-        band_signatures(
-            minhash_signatures_from_sets(shingle_sets(docs, key_col, text_col))
+    return _band_pairs(_band_rows(shingle_features(docs, key_col, text_col)))
+
+
+def make_intersection_udf():
+    """pandas UDF: (sh_a, sh_b) -> |A ∩ B| — vectorized set ops over
+    the (small) candidate pair arrays."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def n_common_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(set(x) & set(y)) for x, y in zip(a, b)], dtype="int32"
         )
-    )
+
+    return n_common_udf
 
 
 def neardup_pairs(
@@ -199,50 +210,34 @@ def neardup_pairs(
     → (key_a, key_b, jaccard) with jaccard rounded to 6 dp for stable
     cross-engine comparison.
 
-    Plan shape: shingle sets + minhash + bands are one map-only
-    projection over docs (cached); the band self-join produces the
-    (small) candidate set; verification explodes shingles only for
-    keys that appear in some candidate pair (semi-join), so the heavy
-    (key, shingle) equi-join runs over candidates' shingles, not the
-    whole corpus.
+    Plan shape: ONE Arrow UDF pass over docs computes shingle sets and
+    band signatures (localCheckpoint severs the lineage — the local
+    proxy for the stage writing its own table at cluster scale); the
+    band self-join produces the (small) candidate set; verification
+    joins the candidates back to the per-key shingle arrays and counts
+    intersections in a vectorized pandas UDF — no corpus-wide
+    (key, shingle) shuffle anywhere.  The division + rounding stay in
+    Catalyst so cross-engine rounding semantics (HALF_UP) match the
+    DuckDB oracle.
     """
-    sets_df = shingle_sets(docs, key_col, text_col).cache()
-    # cands feeds three consumers (two key projections + the common-
-    # shingle join); cache the tiny pair set so the band self-join and
-    # the in-row minhash over the full corpus run exactly once.
-    cands = _band_pairs(
-        band_signatures(minhash_signatures_from_sets(sets_df))
-    ).cache()
-    cand_keys = (
-        cands.select(F.col("key_a").alias("key"))
-        .union(cands.select(F.col("key_b").alias("key")))
-        .distinct()
+    feats = shingle_features(docs, key_col, text_col).localCheckpoint()
+    cands = _band_pairs(_band_rows(feats))
+    n_common_udf = make_intersection_udf()
+    sets_a = feats.select(
+        F.col("key").alias("key_a"), F.col("sh").alias("sh_a")
     )
-    sh = (
-        sets_df.join(cand_keys, "key", "left_semi")
-        .select("key", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
-    )
-    sizes = sh.select("key", "n_sh").distinct()
-    # Equi-join on (key, shingle) — joining on key alone and filtering
-    # shingle equality afterwards would build a per-pair cartesian of
-    # the two shingle sets (O(|A|·|B|) per candidate), which explodes
-    # as soon as the candidate set is non-trivial.
-    common = (
-        cands.join(sh.select(F.col("key").alias("key_a"), "shingle"), "key_a")
-        .join(
-            sh.select(F.col("key").alias("key_b"), "shingle"),
-            ["key_b", "shingle"],
-        )
-        .groupBy("key_a", "key_b")
-        .agg(F.count("*").alias("n_common"))
+    sets_b = feats.select(
+        F.col("key").alias("key_b"), F.col("sh").alias("sh_b")
     )
     return (
-        common.join(sizes.withColumnRenamed("key", "key_a").withColumnRenamed("n_sh", "n_a"), "key_a")
-        .join(sizes.withColumnRenamed("key", "key_b").withColumnRenamed("n_sh", "n_b"), "key_b")
+        cands.join(sets_a, "key_a")
+        .join(sets_b, "key_b")
+        .withColumn("n_common", n_common_udf(F.col("sh_a"), F.col("sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
                 6,
             ),
         )

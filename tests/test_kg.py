@@ -114,3 +114,28 @@ def test_knn_lsh_subset_of_bruteforce_values(spark):
     assert sims == sorted(sims, reverse=True)
     for r in lsh:
         assert bf[r["vec_id"]] == r["cos_sim"]
+
+
+def test_minhash_udf_matches_catalyst_md5(spark):
+    """The Arrow-UDF minhash (hashlib md5 over Python-shingled text)
+    must be bit-identical to the all-Catalyst twin (F.md5 over
+    split/lead shingles) — pins Java-vs-Python whitespace/trim/lower
+    semantics for the LSH path."""
+    from src_to_kb_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_features,
+        shingles,
+    )
+
+    docs = extract_pages(load_pages(spark, SF_SMOKE)).select("url", "text")
+    cat = {
+        r["key"]: tuple(r[i] for i in range(1, 9))
+        for r in minhash_signatures(shingles(docs)).collect()
+    }
+    py = {
+        r["key"]: tuple(",".join(r["bands"]).split(","))
+        for r in shingle_features(docs)
+        .filter(F.col("bands").isNotNull())
+        .collect()
+    }
+    assert cat == py
