@@ -32,11 +32,16 @@ from src_to_kb_spark.operators.dedup import (
     oracle_minhash_ctes,
     oracle_neardup_sql,
     oracle_shingles_cte,
+    oracle_simhash_sql,
 )
 from src_to_kb_spark.operators.extract import extract_pages
 from src_to_kb_spark.operators.linking import link_mentions, oracle_linked_cte
 from src_to_kb_spark.operators.mentions import detect_mentions, oracle_mentions_cte
-from src_to_kb_spark.operators.similarity import knn_brute_force, knn_lsh
+from src_to_kb_spark.operators.similarity import (
+    knn_brute_force,
+    knn_lsh,
+    oracle_knn_lsh_sql,
+)
 from src_to_kb_spark.operators.textstats import oracle_text_stats_sql, text_stats
 from src_to_kb_spark.operators.triples import (
     build_triples,
@@ -381,9 +386,17 @@ WHERE round(list_dot_product(a.v, b.v)
                * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
 """
 
+    simhash_pairs = f"""{pages}
+{oracle_simhash_sql(max_hamming=8)}
+"""
+
+    knn_lsh_sql = oracle_knn_lsh_sql(k=10, dim=64, n_bits=4)
+
     return {
         "doc_ingest": doc_ingest,
         "embedding_neardup": embedding_neardup,
+        "simhash_pairs": simhash_pairs,
+        "knn_lsh": knn_lsh_sql,
         "lang_distribution": lang_dist,
         "kb_stats": kb_stats,
         "search_docs": search_docs,
@@ -397,6 +410,7 @@ WHERE round(list_dot_product(a.v, b.v)
         "neardup_components": neardup_components,
         "knn_cosine": knn_cosine,
         "text_stats": text_stats_sql,
-        # chunks / search_chunks / knn_lsh / pipeline_triples:
-        # chunker- or LSH- or iteration-dependent → rows-only check.
+        # chunks / search_chunks / reconstruct_content / embeddings /
+        # search_answer / pipeline_triples: chunker-dependent (stateful
+        # line-packing, not SQL-expressible) → rows-only check.
     }

@@ -411,3 +411,54 @@ JOIN (SELECT key, count(*) n_a FROM shingles GROUP BY 1) za ON za.key = x.key_a
 JOIN (SELECT key, count(*) n_b FROM shingles GROUP BY 1) zb ON zb.key = x.key_b
 WHERE round(n_common::DOUBLE / (n_a + n_b - n_common), 6) >= {threshold}
 """
+
+
+def oracle_simhash_sql(max_hamming: int = 3, pages_rel: str = "pages") -> str:
+    """DuckDB twin of :func:`simhash_neardup_pairs` (append after a
+    CTE defining ``{pages_rel}(url, text, ...)``).
+
+    The signed-long wrap in :func:`simhash_py` (``sig - 2**63``) is,
+    bit-pattern-wise, just a flip of bit 63 — applied uniformly it
+    preserves block equality and XOR hamming, so the oracle works on
+    ``xor(raw, 1<<63)`` as UBIGINT throughout.
+    """
+    return f"""
+, tok AS (
+  SELECT url AS key,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM {pages_rel}
+),
+th AS (
+  SELECT key, ('0x' || substr(md5(token), 1, 16))::UBIGINT AS hv
+  FROM tok WHERE token <> ''
+),
+bits AS (
+  SELECT key, bb.b AS b,
+         sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY 1, 2
+),
+raw AS (
+  SELECT key,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS r
+  FROM bits GROUP BY key
+),
+sigs AS (
+  SELECT p.url AS key,
+         xor(coalesce(r.r, 0)::UBIGINT, (1::HUGEINT << 63)::UBIGINT) AS flip
+  FROM {pages_rel} p LEFT JOIN raw r ON r.key = p.url
+),
+blocks AS (
+  SELECT key, flip, ii.i AS blk, (flip >> (ii.i * 16)) & 65535 AS val
+  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS i) ii
+),
+sim_cands AS (
+  SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+                  a.flip AS fa, b.flip AS fb
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.key < b.key
+)
+SELECT key_a, key_b, bit_count(xor(fa, fb))::INT AS hamming
+FROM sim_cands
+WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""

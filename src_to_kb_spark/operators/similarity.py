@@ -157,3 +157,53 @@ def knn_lsh(
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
     )
+
+
+def oracle_knn_lsh_sql(
+    k: int = 10,
+    dim: int = 64,
+    n_bits: int = 4,
+    emb_rel: str = "embeddings",
+    query_vec_id: int = 0,
+) -> str:
+    """DuckDB twin of :func:`knn_lsh` for a query vector taken from the
+    table itself.  The hyperplanes are the SAME Python-side md5-derived
+    literals :func:`lsh_bucket` embeds into the Spark plan, so both
+    engines compute identical buckets (shortest-round-trip float repr
+    parses back to the identical double)."""
+    planes = [_hyperplane(dim, b) for b in range(n_bits)]
+
+    def lit(p: list[float]) -> str:
+        return "[" + ",".join(repr(v) for v in p) + "]::DOUBLE[]"
+
+    def bucket_expr(v: str) -> str:
+        terms = [
+            f"CASE WHEN list_dot_product({v}, {lit(planes[b])}) >= 0 "
+            f"THEN {1 << (n_bits - 1 - b)} ELSE 0 END"
+            for b in range(n_bits)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM {emb_rel} WHERE vec_id = {query_vec_id}
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM {emb_rel}
+  WHERE vec_id <> {query_vec_id}
+),
+eb AS (
+  SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM e
+),
+qb AS (
+  SELECT {bucket_expr('qv')} AS bucket FROM q
+)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             4) AS cos_sim
+FROM eb, q, qb
+WHERE eb.bucket = qb.bucket
+ORDER BY cos_sim DESC, vec_id
+LIMIT {k}
+"""
