@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG-construction pipeline.
+
+Usage (cluster):
+    python tools/package_pyfiles.py          # -> dist/src_to_kb_spark.zip
+    spark-submit --py-files dist/src_to_kb_spark.zip \
+        jobs/run_kg_pipeline.py --input /data/pages --output /data/kb
+
+Usage (local smoke):
+    spark-submit jobs/run_kg_pipeline.py \
+        --input /root/testdata/sf0.001 --output /tmp/kb_out
+
+Each stage writes its own parquet table under --output with a
+``_committed_<stage>`` marker and per-partition lineage metrics
+(``_metrics_<stage>.json``).  Re-running with the same --output resumes:
+committed stages are re-read, uncommitted input keys are recomputed via
+anti-join (north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").  On an Iceberg deployment the markers are replaced
+by table snapshots; the flow is identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="pages table dir (or driver testdata sf dir)")
+    ap.add_argument("--output", required=True, help="KB output dir")
+    ap.add_argument("--chunk-size", type=int, default=1000)
+    ap.add_argument("--overlap", type=int, default=200)
+    ap.add_argument("--neardup-threshold", type=float, default=0.8)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from src_to_kb_spark.operators.canonicalize import connected_components
+    from src_to_kb_spark.operators.chunker import chunk_documents
+    from src_to_kb_spark.operators.dedup import neardup_pairs
+    from src_to_kb_spark.operators.extract import extract_pages
+    from src_to_kb_spark.operators.linking import link_mentions
+    from src_to_kb_spark.operators.mentions import detect_mentions
+    from src_to_kb_spark.operators.triples import (
+        build_triples,
+        chunk_triples,
+        doc_triples,
+        mention_triples,
+        same_as_triples,
+    )
+    from src_to_kb_spark.runtime.checkpoint import (
+        is_committed,
+        read_stage,
+        resume_delta,
+        run_metrics,
+        write_stage,
+    )
+    from src_to_kb_spark.runtime.skew import salted_repartition
+    from src_to_kb_spark.session import get_spark
+    from src_to_kb_spark.sources.gazetteer import gazetteer_df
+    from src_to_kb_spark.sources.pages import load_pages
+
+    # Under spark-submit a session already exists; reuse its conf.
+    active = SparkSession.getActiveSession()
+    spark = active if active is not None else get_spark(
+        "kg-pipeline", cpus=args.cpus
+    )
+    os.makedirs(args.output, exist_ok=True)
+
+    pages = load_pages(spark, args.input)
+
+    # -- stage: documents (resume unit = url) ------------------------------
+    if is_committed(args.output, "documents"):
+        delta = resume_delta(pages, spark, args.output, "documents")
+        if delta.limit(1).count() > 0:
+            docs_new = extract_pages(
+                salted_repartition(
+                    delta, n_partitions=spark.sparkContext.defaultParallelism
+                )
+            )
+            write_stage(docs_new, args.output, "documents", mode="append")
+    else:
+        docs_all = extract_pages(
+            salted_repartition(
+                pages, n_partitions=spark.sparkContext.defaultParallelism
+            )
+        )
+        write_stage(docs_all, args.output, "documents")
+    documents = read_stage(spark, args.output, "documents")
+
+    # -- downstream stages (each committed-or-computed) --------------------
+    gaz = gazetteer_df(spark)
+
+    def stage(name, make):
+        if not is_committed(args.output, name):
+            write_stage(make(), args.output, name)
+        return read_stage(spark, args.output, name)
+
+    chunks = stage(
+        "chunks",
+        lambda: chunk_documents(documents, args.chunk_size, args.overlap),
+    )
+    linked = stage(
+        "linked", lambda: link_mentions(detect_mentions(documents, gaz), gaz)
+    )
+    pairs = stage(
+        "neardup_pairs",
+        lambda: neardup_pairs(documents, threshold=args.neardup_threshold),
+    )
+    components = stage(
+        "components", lambda: connected_components(pairs)
+    )
+    triples = stage(
+        "triples",
+        lambda: build_triples(
+            doc_triples(documents),
+            mention_triples(linked),
+            same_as_triples(components),
+            chunk_triples(chunks),
+        ),
+    )
+
+    summary = {
+        "documents": documents.count(),
+        "chunks": chunks.count(),
+        "linked": linked.count(),
+        "neardup_pairs": pairs.count(),
+        "components": components.count(),
+        "triples": triples.count(),
+        "stages": run_metrics(args.output),
+    }
+    with open(os.path.join(args.output, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "stages"}))
+    return summary
+
+
+if __name__ == "__main__":
+    main()
