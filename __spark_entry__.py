@@ -26,7 +26,7 @@ from src_to_kb_spark.operators.canonicalize import (
     connected_components,
     oracle_components_sql,
 )
-from src_to_kb_spark.operators.chunker import chunk_documents
+from src_to_kb_spark.operators.chunker import chunk_documents, oracle_chunks_ctes
 from src_to_kb_spark.operators.dedup import (
     neardup_pairs,
     oracle_minhash_ctes,
@@ -390,6 +390,22 @@ WHERE round(list_dot_product(a.v, b.v)
 {oracle_simhash_sql(max_hamming=8)}
 """
 
+    chunk_ctes = oracle_chunks_ctes().strip().lstrip(",").strip()
+    chunks_sql = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
+{chunk_ctes}
+SELECT doc_uid, url, chunk_id, chunk_index, content, start_line,
+       end_line, size
+FROM chunks_r
+"""
+
+    reconstruct_content = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
+{chunk_ctes}
+SELECT doc_uid,
+       string_agg(content, chr(10) || chr(10) ORDER BY chunk_index)
+         AS content
+FROM chunks_r GROUP BY doc_uid
+"""
+
     knn_lsh_sql = oracle_knn_lsh_sql(k=10, dim=64, n_bits=4)
 
     return {
@@ -397,6 +413,8 @@ WHERE round(list_dot_product(a.v, b.v)
         "embedding_neardup": embedding_neardup,
         "simhash_pairs": simhash_pairs,
         "knn_lsh": knn_lsh_sql,
+        "chunks": chunks_sql,
+        "reconstruct_content": reconstruct_content,
         "lang_distribution": lang_dist,
         "kb_stats": kb_stats,
         "search_docs": search_docs,
@@ -410,7 +428,7 @@ WHERE round(list_dot_product(a.v, b.v)
         "neardup_components": neardup_components,
         "knn_cosine": knn_cosine,
         "text_stats": text_stats_sql,
-        # chunks / search_chunks / reconstruct_content / embeddings /
-        # search_answer / pipeline_triples: chunker-dependent (stateful
-        # line-packing, not SQL-expressible) → rows-only check.
+        # search_chunks / embeddings / search_answer / pipeline_triples:
+        # rows-only — snippet-dedup fold / float-array hashing across
+        # engines / driver-side answer assembly / CC-iteration composite.
     }

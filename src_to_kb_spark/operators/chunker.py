@@ -72,3 +72,101 @@ def chunk_documents(
         F.col("ch.end_line").alias("end_line"),
         F.col("ch.size").alias("size"),
     )
+
+
+def oracle_chunks_ctes(
+    chunk_size: int = 1000, overlap: int = 200, pages_rel: str = "pages"
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` as a chain of CTEs ending
+    in ``chunks_r(doc_uid, url, chunk_id, chunk_index, content,
+    start_line, end_line, size)``.
+
+    The greedy line-packer keeps a CONTIGUOUS window of lines, so its
+    whole state is (start-line s, current size, chunk index); the
+    recursive CTE steps one line per iteration across all documents in
+    lockstep.  The reference's recomputed-size quirk
+    (kb-generator.js:395: after an overlap carry the running ``len+1``
+    sum is replaced by ``len(join(carry))``) becomes a prefix-sum
+    expression: ``pref[i-1] - pref[s'-1] + (n_carry - 1)``.
+
+    Must be appended after a ``WITH RECURSIVE``-opened pages CTE.
+    """
+    C, O = chunk_size, overlap
+    return f"""
+cdoc AS (
+  SELECT url, 'doc_' || sha256(url) AS doc_uid,
+         string_split(text, chr(10)) AS lines,
+         len(string_split(text, chr(10))) AS n_lines
+  FROM {pages_rel}
+),
+clines AS (
+  SELECT url, i, length(line) AS llen,
+         sum(length(line)) OVER (PARTITION BY url ORDER BY i) AS pref
+  FROM (
+    SELECT url, unnest(lines) AS line,
+           generate_subscripts(lines, 1) AS i
+    FROM cdoc
+  )
+),
+cprefs AS (
+  SELECT url, list(pref ORDER BY i) AS parr FROM clines GROUP BY url
+),
+crec AS (
+  SELECT url, 0 AS i, 1 AS s, 0 AS cur, 0 AS idx,
+         NULL::INT AS em_idx, NULL::INT AS em_s, NULL::INT AS em_e,
+         NULL::INT AS em_size
+  FROM cdoc
+  UNION ALL
+  SELECT r.url, r.i + 1,
+         CASE WHEN r.cur + lt.llen + 1 > {C} AND r.i + 1 > r.s
+              THEN r.s + greatest(0, (r.i + 1 - r.s)
+                   - ceil({O} / (r.cur::DOUBLE / (r.i + 1 - r.s)))::INT)
+              ELSE r.s END,
+         CASE WHEN r.cur + lt.llen + 1 > {C} AND r.i + 1 > r.s
+              THEN (p.parr[r.i]
+                    - CASE WHEN r.s + greatest(0, (r.i + 1 - r.s)
+                             - ceil({O} / (r.cur::DOUBLE / (r.i + 1 - r.s)))::INT)
+                             > 1
+                           THEN p.parr[r.s + greatest(0, (r.i + 1 - r.s)
+                             - ceil({O} / (r.cur::DOUBLE / (r.i + 1 - r.s)))::INT)
+                             - 1]
+                           ELSE 0 END)
+                   + (r.i + 1 - (r.s + greatest(0, (r.i + 1 - r.s)
+                      - ceil({O} / (r.cur::DOUBLE / (r.i + 1 - r.s)))::INT)) - 1)
+                   + lt.llen + 1
+              ELSE r.cur + lt.llen + 1 END,
+         CASE WHEN r.cur + lt.llen + 1 > {C} AND r.i + 1 > r.s
+              THEN r.idx + 1 ELSE r.idx END,
+         CASE WHEN r.cur + lt.llen + 1 > {C} AND r.i + 1 > r.s
+              THEN r.idx END,
+         CASE WHEN r.cur + lt.llen + 1 > {C} AND r.i + 1 > r.s
+              THEN r.s END,
+         CASE WHEN r.cur + lt.llen + 1 > {C} AND r.i + 1 > r.s
+              THEN r.i END,
+         CASE WHEN r.cur + lt.llen + 1 > {C} AND r.i + 1 > r.s
+              THEN r.cur END
+  FROM crec r
+  JOIN clines lt ON lt.url = r.url AND lt.i = r.i + 1
+  JOIN cprefs p ON p.url = r.url
+),
+cemit AS (
+  SELECT url, em_idx AS chunk_index, em_s AS s1, em_e AS e1, em_size AS size
+  FROM crec WHERE em_idx IS NOT NULL
+  UNION ALL
+  SELECT r.url, r.idx, r.s, d.n_lines, r.cur
+  FROM crec r JOIN cdoc d ON d.url = r.url AND r.i = d.n_lines
+),
+chunks_r AS (
+  SELECT d.doc_uid, c.url,
+         d.doc_uid || '_chunk_' || c.chunk_index AS chunk_id,
+         c.chunk_index,
+         array_to_string(d.lines[c.s1:c.e1], chr(10)) AS content,
+         -- reference quirk (kb-generator.js:396): after an overlap
+         -- carry start_line is recorded as i - (n_carry - 1), i.e. one
+         -- PAST the true first content line; only chunk 0 records its
+         -- actual start.
+         CASE WHEN c.chunk_index = 0 THEN c.s1 - 1 ELSE c.s1 END
+           AS start_line,
+         c.e1 - 1 AS end_line, c.size
+  FROM cemit c JOIN cdoc d ON d.url = c.url
+)"""

@@ -74,3 +74,49 @@ def test_monotone_lines_and_final_chunk():
 
 def test_empty_text_yields_one_chunk():
     assert len(create_chunks("", 1000, 200)) == 1
+
+
+def test_chunker_oracle_cte_matches_python_on_stress_docs():
+    """The DuckDB recursive-CTE chunker twin must replicate
+    create_chunks exactly on multi-chunk documents (the sf corpora are
+    single-chunk, so this is the only coverage of carries, the
+    recomputed-size quirk, and the start_line off-by-one quirk)."""
+    import random
+
+    import duckdb
+
+    from src_to_kb_spark.core.textproc import create_chunks
+    from src_to_kb_spark.operators.chunker import oracle_chunks_ctes
+
+    random.seed(42)
+    cases = {
+        "stress": "\n".join(
+            "line %03d " % i + "x" * random.randint(0, 120)
+            for i in range(120)
+        ),
+        "empty": "",
+        "bigline": "y" * 5000,
+        "ragged": "\n".join(
+            "z" * random.randint(0, 300) for _ in range(80)
+        ),
+        "newlines": "\n\n\n\n",
+    }
+    con = duckdb.connect()
+    con.sql("CREATE TABLE p (url VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?,?)", list(cases.items()))
+    sql = (
+        "WITH RECURSIVE pages AS (SELECT url, text FROM p),\n"
+        + oracle_chunks_ctes().strip().lstrip(",")
+        + "\nSELECT url, chunk_index, content, start_line, end_line, size"
+        " FROM chunks_r ORDER BY url, chunk_index"
+    )
+    duck: dict[str, list[tuple]] = {}
+    for r in con.sql(sql).fetchall():
+        duck.setdefault(r[0], []).append(tuple(r[1:]))
+    for name, text in cases.items():
+        py = [
+            (c["index"], c["content"], c["start_line"], c["end_line"],
+             c["size"])
+            for c in create_chunks(text, 1000, 200)
+        ]
+        assert py == duck.get(name, []), name
