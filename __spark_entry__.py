@@ -24,6 +24,7 @@ from src_to_kb_spark.functions.classify import (
 )
 from src_to_kb_spark.operators.canonicalize import (
     connected_components,
+    oracle_components_cte,
     oracle_components_sql,
 )
 from src_to_kb_spark.operators.chunker import chunk_documents, oracle_chunks_ctes
@@ -53,6 +54,7 @@ from src_to_kb_spark.queries.search import (
     kb_statistics,
     keywords_of,
     lang_distribution,
+    oracle_search_chunks_sql,
     oracle_substr_count_sql,
     search_by_type,
     search_chunks,
@@ -159,7 +161,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_search_chunks(spark, sf):
         chunks = chunk_documents(_docs(spark, sf))
-        return search_chunks(chunks, SEARCH_QUERY, mode="developer", limit=10)
+        res = search_chunks(chunks, SEARCH_QUERY, mode="developer", limit=10)
+        # snippets joined to a scalar so the cross-engine value compare
+        # stays on plain strings (semantics unchanged; the library API
+        # still returns the array form)
+        return res.select(
+            "doc_uid", "url", "lang", "chunk_id", "chunk_index", "content",
+            "start_line", "end_line", "size", "score",
+            F.array_join("context_snippets", " | ").alias("snippets"),
+            "preview", "confidence", "is_priority",
+        )
 
     def q_knn_lsh(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -406,6 +417,40 @@ SELECT doc_uid,
 FROM chunks_r GROUP BY doc_uid
 """
 
+    search_chunks_sql = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
+{chunk_ctes}
+{oracle_search_chunks_sql(SEARCH_QUERY, mode="developer", limit=10)}
+"""
+
+    # Flagship: the FULL pipeline (doc + mention + link + same_as +
+    # chunk triples) as one DuckDB query — every stage has a CTE twin.
+    pipeline_triples_sql = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
+{gaz_cte},
+{oracle_mentions_cte().strip()},
+{oracle_linked_cte().strip()},
+{oracle_shingles_cte().strip()},
+{oracle_minhash_ctes().strip()},
+nd_pairs AS (
+  SELECT key_a, key_b FROM ({oracle_neardup_sql(NEARDUP_THRESHOLD)})
+){oracle_components_cte('nd_pairs', 'comp')},
+{chunk_ctes}
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT url AS subj, 'has_language' AS pred, lang AS obj FROM pages
+  UNION ALL
+  SELECT url, 'has_type', {oracle_type_sql(ext)} FROM pages
+  UNION ALL
+  SELECT url, 'has_checksum', sha256(text) FROM pages
+  UNION ALL
+  SELECT key, 'mentions', norm FROM linked
+  UNION ALL
+  SELECT key, 'linked_to', canonical_name FROM linked
+  UNION ALL
+  SELECT key, 'same_as', canon_id FROM comp WHERE key <> canon_id
+  UNION ALL
+  SELECT url, 'has_chunk', chunk_id FROM chunks_r
+)
+"""
+
     knn_lsh_sql = oracle_knn_lsh_sql(k=10, dim=64, n_bits=4)
 
     return {
@@ -415,6 +460,8 @@ FROM chunks_r GROUP BY doc_uid
         "knn_lsh": knn_lsh_sql,
         "chunks": chunks_sql,
         "reconstruct_content": reconstruct_content,
+        "search_chunks": search_chunks_sql,
+        "pipeline_triples": pipeline_triples_sql,
         "lang_distribution": lang_dist,
         "kb_stats": kb_stats,
         "search_docs": search_docs,
@@ -428,7 +475,6 @@ FROM chunks_r GROUP BY doc_uid
         "neardup_components": neardup_components,
         "knn_cosine": knn_cosine,
         "text_stats": text_stats_sql,
-        # search_chunks / embeddings / search_answer / pipeline_triples:
-        # rows-only — snippet-dedup fold / float-array hashing across
-        # engines / driver-side answer assembly / CC-iteration composite.
+        # embeddings / search_answer: rows-only — float-array value
+        # hashing across engines / driver-side answer assembly.
     }

@@ -141,3 +141,26 @@ SELECT key, min(lbl) AS canon_id FROM (
   SELECT DISTINCT src AS key, src AS lbl FROM sym
 ) GROUP BY key
 """
+
+
+def oracle_components_cte(edges_cte: str = "pairs", name: str = "comp") -> str:
+    """Same fixpoint as :func:`oracle_components_sql`, but ending in a
+    named CTE ``{name}(key, canon_id)`` for composition into larger
+    oracle queries (e.g. the full-pipeline triples twin)."""
+    return f"""
+, csym AS (
+  SELECT key_a AS src, key_b AS dst FROM {edges_cte}
+  UNION SELECT key_b, key_a FROM {edges_cte}
+),
+creach AS (
+  SELECT src, dst FROM csym
+  UNION
+  SELECT r.src, s.dst FROM creach r JOIN csym s ON r.dst = s.src
+),
+{name} AS (
+  SELECT key, min(lbl) AS canon_id FROM (
+    SELECT src AS key, dst AS lbl FROM creach
+    UNION ALL
+    SELECT DISTINCT src AS key, src AS lbl FROM csym
+  ) GROUP BY key
+)"""

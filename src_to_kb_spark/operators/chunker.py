@@ -94,7 +94,7 @@ def oracle_chunks_ctes(
     C, O = chunk_size, overlap
     return f"""
 cdoc AS (
-  SELECT url, 'doc_' || sha256(url) AS doc_uid,
+  SELECT url, lang, 'doc_' || sha256(url) AS doc_uid,
          string_split(text, chr(10)) AS lines,
          len(string_split(text, chr(10))) AS n_lines
   FROM {pages_rel}
@@ -157,7 +157,7 @@ cemit AS (
   FROM crec r JOIN cdoc d ON d.url = r.url AND r.i = d.n_lines
 ),
 chunks_r AS (
-  SELECT d.doc_uid, c.url,
+  SELECT d.doc_uid, c.url, d.lang,
          d.doc_uid || '_chunk_' || c.chunk_index AS chunk_id,
          c.chunk_index,
          array_to_string(d.lines[c.s1:c.e1], chr(10)) AS content,

@@ -233,3 +233,99 @@ def similar_documents(
         .orderBy(F.desc("similarity"), F.asc("url"))
     )
     return out.limit(limit) if limit else out
+
+
+def _re2_ws_class() -> str:
+    """JS_WS_CLASS re-escaped for RE2 (DuckDB): \\x{XXXX}, not \\uXXXX."""
+    from ..core.textproc import JS_WHITESPACE
+
+    return "[" + "".join(f"\\x{{{ord(c):04x}}}" for c in JS_WHITESPACE) + "]"
+
+
+def oracle_search_chunks_sql(
+    query: str,
+    mode: str = "developer",
+    limit: int = 10,
+    chunks_rel: str = "chunks_r",
+) -> str:
+    """DuckDB twin of :func:`search_chunks` over a chunker CTE
+    (``chunks_r`` from ``oracle_chunks_ctes`` with a ``lang`` column).
+
+    The snippet-dedup fold (keep a snippet unless an earlier KEPT one
+    contains its first 30 chars — search.js:167-169) is unrolled into
+    per-position CASE columns, which is exact for any fixed keyword
+    count.  Snippets are emitted joined with ' | ' (the registered
+    Spark query projects the same) so the comparison stays scalar.
+    """
+    kws = keywords_of(query)
+    ws = _re2_ws_class()
+    n = len(kws)
+
+    snip_exprs = []
+    score_terms = []
+    for kw in kws:
+        lit = kw.replace("'", "''")
+        score_terms.append(f"len(regexp_extract_all(lc, '{lit}'))")
+        raw = (
+            f"substring(content, greatest(strpos(lc, '{lit}') - 80, 1), "
+            f"least(strpos(lc, '{lit}') + {len(kw)} + 80, length(lc) + 1)"
+            f" - greatest(strpos(lc, '{lit}') - 80, 1))"
+        )
+        snip = f"regexp_replace({raw}, '^{ws}+|{ws}+$', '', 'g')"
+        snip = f"regexp_replace({snip}, '{ws}+', ' ', 'g')"
+        snip = f"regexp_replace({snip}, '^\\W+', '', 'g')"
+        snip = f"regexp_replace({snip}, '\\W+$', '', 'g')"
+        snip_exprs.append(
+            f"CASE WHEN strpos(lc, '{lit}') > 0 THEN {snip} END"
+        )
+
+    kept_defs = ["snips[1] AS k1"]
+    for j in range(2, n + 1):
+        prior = " OR ".join(
+            f"(k{m} IS NOT NULL AND contains(k{m}, left(snips[{j}], 30)))"
+            for m in range(1, j)
+        )
+        kept_defs.append(
+            f"CASE WHEN snips[{j}] IS NOT NULL AND NOT ({prior}) "
+            f"THEN snips[{j}] END AS k{j}"
+        )
+    kept_list = ", ".join(f"k{j}" for j in range(1, n + 1))
+
+    prio_terms = MODE_PRIORITIZE.get(mode, [])
+    prio = (
+        "(" + " OR ".join(
+            f"(contains(lower(url), '{t}') OR lower(lang) = '{t}')"
+            for t in prio_terms
+        ) + ")"
+        if prio_terms
+        else "FALSE"
+    )
+    excl = "".join(
+        f"  AND NOT regexp_matches(url, '{p}')\n"
+        for p in MODE_EXCLUDE.get(mode, [])
+    )
+
+    return f"""
+, sc_base AS (
+  SELECT *, lower(content) AS lc FROM {chunks_rel}
+),
+sc_scored AS (
+  SELECT *, ({" + ".join(score_terms)}) AS score,
+         list_filter([{", ".join(snip_exprs)}], x -> x IS NOT NULL) AS snips
+  FROM sc_base
+  WHERE ({" + ".join(score_terms)}) > 0
+{excl}),
+sc_kept AS (
+  SELECT *, {", ".join(kept_defs)} FROM sc_scored
+)
+SELECT doc_uid, url, lang, chunk_id, chunk_index, content,
+       start_line, end_line, size, score,
+       array_to_string(list_filter([{kept_list}], x -> x IS NOT NULL),
+                       ' | ') AS snippets,
+       substring(content, 1, 200) AS preview,
+       least(score / 50.0, 1.0) AS confidence,
+       {prio} AS is_priority
+FROM sc_kept
+ORDER BY is_priority DESC, score DESC, chunk_id
+LIMIT {limit}
+"""

@@ -105,7 +105,7 @@ def test_chunker_oracle_cte_matches_python_on_stress_docs():
     con.sql("CREATE TABLE p (url VARCHAR, text VARCHAR)")
     con.executemany("INSERT INTO p VALUES (?,?)", list(cases.items()))
     sql = (
-        "WITH RECURSIVE pages AS (SELECT url, text FROM p),\n"
+        "WITH RECURSIVE pages AS (SELECT url, 'x' AS lang, text FROM p),\n"
         + oracle_chunks_ctes().strip().lstrip(",")
         + "\nSELECT url, chunk_index, content, start_line, end_line, size"
         " FROM chunks_r ORDER BY url, chunk_index"
