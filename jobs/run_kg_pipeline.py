@@ -99,9 +99,9 @@ def main(argv: list[str] | None = None) -> dict:
     # -- downstream stages (each committed-or-computed) --------------------
     gaz = gazetteer_df(spark)
 
-    def stage(name, make):
+    def stage(name, make, partition_by=None):
         if not is_committed(args.output, name):
-            write_stage(make(), args.output, name)
+            write_stage(make(), args.output, name, partition_by=partition_by)
         return read_stage(spark, args.output, name)
 
     chunks = stage(
@@ -118,6 +118,8 @@ def main(argv: list[str] | None = None) -> dict:
     components = stage(
         "components", lambda: connected_components(pairs)
     )
+    # partitioned by predicate: a query touching one predicate
+    # (e.g. all same_as edges) scans one directory, not the table
     triples = stage(
         "triples",
         lambda: build_triples(
@@ -126,6 +128,7 @@ def main(argv: list[str] | None = None) -> dict:
             same_as_triples(components),
             chunk_triples(chunks),
         ),
+        partition_by=["pred"],
     )
 
     summary = {

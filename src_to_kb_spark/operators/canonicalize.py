@@ -95,9 +95,17 @@ def connected_components(
 
 
 def _components_driver(spark, sym: DataFrame, node_df: DataFrame) -> DataFrame:
-    """Union-find on collected edges — the small-graph fast path."""
-    pairs = [(r["src"], r["dst"]) for r in sym.collect()]
-    nodes = {r["key"] for r in node_df.collect()}
+    """Union-find on collected edges — the small-graph fast path.
+
+    Arrow end-to-end: ``toPandas`` for the collect and a pandas frame
+    back through ``createDataFrame`` — the Row-object ``collect()`` /
+    list-of-tuples paths are 10-50× slower and turn this stage into a
+    serial bottleneck near the edge-count threshold.
+    """
+    import pandas as pd
+
+    spdf = sym.toPandas()
+    nodes = node_df.toPandas()["key"].tolist()
     parent: dict[str, str] = {n: n for n in nodes}
 
     def find(x: str) -> str:
@@ -106,18 +114,21 @@ def _components_driver(spark, sym: DataFrame, node_df: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for a, b in pairs:
+    for a, b in zip(spdf["src"].tolist(), spdf["dst"].tolist()):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[ra] = rb
     groups: dict[str, list[str]] = {}
     for n in nodes:
         groups.setdefault(find(n), []).append(n)
-    rows = []
+    keys: list[str] = []
+    canons: list[str] = []
     for members in groups.values():
         canon = min(members)
-        rows.extend((m, canon) for m in members)
-    return spark.createDataFrame(rows, "key string, canon_id string")
+        keys.extend(members)
+        canons.extend([canon] * len(members))
+    out = pd.DataFrame({"key": keys, "canon_id": canons})
+    return spark.createDataFrame(out)
 
 
 def oracle_components_sql(edges_cte: str = "pairs") -> str:

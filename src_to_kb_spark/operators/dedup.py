@@ -74,8 +74,11 @@ def shingle_py(text: str) -> list[str]:
 
 def minhash_bands_py(sh: list[str], n_hashes: int = N_HASHES,
                      n_bands: int = N_BANDS) -> list[str] | None:
-    """Band signatures from a shingle list: h_i = min over shingles of
-    the 16-hex-char prefix of md5('{i}|{shingle}'); bands concatenate
+    """Band signatures from a shingle list: each md5('{j}|{shingle}')
+    yields TWO independent 16-hex-char hashes (front and back half of
+    the 32-hex digest), so K minhashes cost K/2 md5 calls — md5 is the
+    dominant compute of the whole near-dup stage at scale.  h_{2j} =
+    min front halves, h_{2j+1} = min back halves.  Bands concatenate
     rows_per_band h's with ','.  None for empty shingle sets."""
     import hashlib as _hl
 
@@ -83,9 +86,11 @@ def minhash_bands_py(sh: list[str], n_hashes: int = N_HASHES,
         return None
     enc = [s.encode("utf-8") for s in sh]
     mins = []
-    for i in range(n_hashes):
-        pref = f"{i}|".encode()
-        mins.append(min(_hl.md5(pref + e).hexdigest()[:16] for e in enc))
+    for j in range(n_hashes // 2):
+        pref = f"{j}|".encode()
+        digs = [_hl.md5(pref + e).hexdigest() for e in enc]
+        mins.append(min(d[:16] for d in digs))
+        mins.append(min(d[16:] for d in digs))
     rpb = n_hashes // n_bands
     return [",".join(mins[b * rpb : (b + 1) * rpb]) for b in range(n_bands)]
 
@@ -106,6 +111,59 @@ def make_shingle_features_udf():
         return pd.DataFrame({"sh": sh, "bands": bands})
 
     return feats_udf
+
+
+def make_bands_udf():
+    """pandas UDF: text -> array<string> band signatures only — the
+    candidate-generation pass ships 2 short strings per doc through
+    Arrow instead of the full shingle set (which is text-sized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def bands_udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: minhash_bands_py(shingle_py(t)))
+
+    return bands_udf
+
+
+def make_shingle_set_udf():
+    """pandas UDF: text -> array<string> distinct 3-shingles — run only
+    over candidate-pair members during verification."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def sh_udf(text: pd.Series) -> pd.Series:
+        return text.map(shingle_py)
+
+    return sh_udf
+
+
+def shingle_hashes_py(text: str) -> list[int]:
+    """Sorted distinct signed-int64 md5-prefix hashes of the 3-token
+    shingles.  ~3× narrower than the string arrays through shuffle and
+    Arrow, and intersections vectorize with numpy.  The DuckDB oracle
+    hashes shingles with the SAME md5 prefix, so even a hash collision
+    (≈1e-6 per corpus) collapses identically in both engines."""
+    import hashlib as _hl
+
+    out = {
+        int.from_bytes(_hl.md5(s.encode("utf-8")).digest()[:8], "big")
+        for s in shingle_py(text)
+    }
+    return sorted(v - (1 << 64) if v >= (1 << 63) else v for v in out)
+
+
+def make_shingle_hash_udf():
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def shh_udf(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda t: np.array(shingle_hashes_py(t), dtype="int64")
+        )
+
+    return shh_udf
 
 
 def shingles(docs: DataFrame, key_col: str = "url", text_col: str = "text") -> DataFrame:
@@ -139,14 +197,18 @@ def minhash_signatures(
     sh: DataFrame, n_hashes: int = N_HASHES
 ) -> DataFrame:
     """(key, h0..h{K-1}) from exploded (key, shingle) rows — the
-    all-Catalyst twin of :func:`minhash_bands_py`, kept for tests that
-    cross-check the UDF against native md5 semantics."""
+    all-Catalyst twin of :func:`minhash_bands_py` (front/back md5
+    halves), kept for tests that cross-check the UDF against native
+    md5 semantics."""
+
+    def half(j: int, front: bool):
+        d = F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))
+        return F.substring(d, 1, 16) if front else F.substring(d, 17, 16)
+
     hashed = sh.select(
         "key",
         *[
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))), 1, 16
-            ).alias(f"h{i}")
+            half(i // 2, i % 2 == 0).alias(f"h{i}")
             for i in range(n_hashes)
         ],
     )
@@ -186,14 +248,20 @@ def neardup_candidate_pairs(
 
 
 def make_intersection_udf():
-    """pandas UDF: (sh_a, sh_b) -> |A ∩ B| — vectorized set ops over
-    the (small) candidate pair arrays."""
+    """pandas UDF: (sh_a, sh_b) -> |A ∩ B| over sorted int64 hash
+    arrays — numpy intersect1d with assume_unique (sets are distinct
+    by construction)."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def n_common_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(
-            [len(set(x) & set(y)) for x, y in zip(a, b)], dtype="int32"
+            [
+                len(np.intersect1d(x, y, assume_unique=True))
+                for x, y in zip(a, b)
+            ],
+            dtype="int32",
         )
 
     return n_common_udf
@@ -210,23 +278,42 @@ def neardup_pairs(
     → (key_a, key_b, jaccard) with jaccard rounded to 6 dp for stable
     cross-engine comparison.
 
-    Plan shape: ONE Arrow UDF pass over docs computes shingle sets and
-    band signatures (localCheckpoint severs the lineage — the local
+    Plan shape: pass 1 (Arrow UDF) computes ONLY band signatures — two
+    short strings per doc through Arrow, localCheckpointed (the local
     proxy for the stage writing its own table at cluster scale); the
-    band self-join produces the (small) candidate set; verification
-    joins the candidates back to the per-key shingle arrays and counts
-    intersections in a vectorized pandas UDF — no corpus-wide
-    (key, shingle) shuffle anywhere.  The division + rounding stay in
-    Catalyst so cross-engine rounding semantics (HALF_UP) match the
-    DuckDB oracle.
+    band self-join produces the (small) candidate set; pass 2 runs the
+    shingle-set UDF ONLY over candidate-pair members (a left-semi join
+    keeps it a tiny fraction of the corpus) and verification counts
+    intersections in a vectorized pandas UDF — the full corpus's
+    shingle sets are never materialized or shuffled.  The division +
+    rounding stay in Catalyst so cross-engine rounding semantics
+    (HALF_UP) match the DuckDB oracle.
     """
-    feats = shingle_features(docs, key_col, text_col).localCheckpoint()
-    cands = _band_pairs(_band_rows(feats))
+    bands_udf = make_bands_udf()
+    bands_df = docs.select(
+        F.col(key_col).alias("key"),
+        bands_udf(F.col(text_col)).alias("bands"),
+    ).localCheckpoint()
+    cands = _band_pairs(_band_rows(bands_df)).localCheckpoint()
+    cand_keys = (
+        cands.select(F.col("key_a").alias("key"))
+        .union(cands.select(F.col("key_b").alias("key")))
+        .distinct()
+    )
+    shh_udf = make_shingle_hash_udf()
+    # two consumers (a/b sides of the verify join) — cache so the
+    # shingle-hash UDF runs once over the candidate members
+    cand_sets = (
+        docs.select(F.col(key_col).alias("key"), F.col(text_col).alias("_t"))
+        .join(cand_keys, "key", "left_semi")
+        .select("key", shh_udf(F.col("_t")).alias("sh"))
+        .cache()
+    )
     n_common_udf = make_intersection_udf()
-    sets_a = feats.select(
+    sets_a = cand_sets.select(
         F.col("key").alias("key_a"), F.col("sh").alias("sh_a")
     )
-    sets_b = feats.select(
+    sets_b = cand_sets.select(
         F.col("key").alias("key_b"), F.col("sh").alias("sh_b")
     )
     return (
@@ -368,7 +455,8 @@ shingles AS (
 def oracle_minhash_ctes() -> str:
     rows_per_band = N_HASHES // N_BANDS
     mins = ",\n         ".join(
-        f"min(substr(md5('{i}' || '|' || shingle), 1, 16)) AS h{i}"
+        f"min(substr(md5('{i // 2}' || '|' || shingle),"
+        f" {1 if i % 2 == 0 else 17}, 16)) AS h{i}"
         for i in range(N_HASHES)
     )
     band_rows = " UNION ALL ".join(
@@ -396,19 +484,28 @@ cand_pairs AS (
 
 
 def oracle_neardup_sql(threshold: float = 0.8) -> str:
-    """Final SELECT over the shingle/minhash CTEs (append after them)."""
+    """Final SELECT over the shingle/minhash CTEs (append after them).
+
+    Verification joins/counts on the md5-prefix HASH of the shingle —
+    the same 64-bit value the Spark verify pass uses — so both engines
+    collapse any (astronomically rare) hash collision identically.
+    """
     return f"""
 SELECT key_a, key_b,
        round(n_common::DOUBLE / (n_a + n_b - n_common), 6) AS jaccard
 FROM (
-  SELECT c.key_a, c.key_b, count(*) AS n_common
+  SELECT c.key_a, c.key_b, count(DISTINCT substr(md5(sa.shingle), 1, 16))
+           AS n_common
   FROM cand_pairs c
   JOIN shingles sa ON sa.key = c.key_a
-  JOIN shingles sb ON sb.key = c.key_b AND sb.shingle = sa.shingle
+  JOIN shingles sb ON sb.key = c.key_b
+   AND substr(md5(sb.shingle), 1, 16) = substr(md5(sa.shingle), 1, 16)
   GROUP BY 1, 2
 ) x
-JOIN (SELECT key, count(*) n_a FROM shingles GROUP BY 1) za ON za.key = x.key_a
-JOIN (SELECT key, count(*) n_b FROM shingles GROUP BY 1) zb ON zb.key = x.key_b
+JOIN (SELECT key, count(DISTINCT substr(md5(shingle), 1, 16)) n_a
+      FROM shingles GROUP BY 1) za ON za.key = x.key_a
+JOIN (SELECT key, count(DISTINCT substr(md5(shingle), 1, 16)) n_b
+      FROM shingles GROUP BY 1) zb ON zb.key = x.key_b
 WHERE round(n_common::DOUBLE / (n_a + n_b - n_common), 6) >= {threshold}
 """
 

@@ -2,21 +2,25 @@
 (SURVEY.md §7.2 stage 3; replaces the keyword-scoring inputs of
 search.js:132-153 with a dictionary-driven extractor).
 
-Scale shape:
-* tokenization is pure Catalyst (``split`` + ``explode`` — JVM-side,
-  whole-stage codegen; no Python);
-* the token stream is filtered against the **broadcast** alias set
-  BEFORE the aggregation, so the shuffle for the per-(doc, alias)
-  count carries only matching tokens (a tiny fraction of the corpus) —
-  at 100 TB this is the difference between shuffling the whole token
-  stream and shuffling ~the mention stream;
-* partial aggregation (map-side combine) comes free from groupBy.
+Scale shape: the gazetteer is dictionary-sized at ANY corpus scale, so
+it ships inside the Arrow UDF closure (the classic broadcast-the-
+dictionary pattern) and per-(doc, alias) counts are computed IN-ROW —
+one map-only pass, no token-stream explode, no shuffle at all.  An
+earlier variant exploded every token to a row and broadcast-joined
+(JVM-side); correct, but the 200+-token-per-doc explode plus its
+aggregation was the single most expensive stage of the pipeline and
+the UTF8String churn anti-scaled with thread count.  The Catalyst
+variant is kept as :func:`detect_mentions_exploded` for the plan tests
+and as the semantics twin of the DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .dedup import _JAVA_TRIM, _JAVA_WS
 
 
 def tokenize(docs: DataFrame, key_col: str = "url", text_col: str = "text") -> DataFrame:
@@ -25,6 +29,31 @@ def tokenize(docs: DataFrame, key_col: str = "url", text_col: str = "text") -> D
         F.col(key_col).alias("key"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Python twin of :func:`tokenize` (Java ``\\s`` class, not
+    Python's Unicode whitespace)."""
+    t = _JAVA_TRIM.sub("", text or "").lower()
+    return [tok for tok in _JAVA_WS.split(t) if tok] if t else []
+
+
+def make_mention_counts_udf(aliases: frozenset[str]):
+    """pandas UDF: text -> array<struct<norm,string n,int>> of alias
+    occurrence counts; the alias set rides in the closure."""
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<norm: string, n: int>>")
+    def counts_udf(text: pd.Series) -> pd.Series:
+        def one(t):
+            c = Counter(tok for tok in tokenize_py(t) if tok in aliases)
+            return [(k, v) for k, v in c.items()]
+
+        return text.map(one)
+
+    return counts_udf
 
 
 def detect_mentions(
@@ -37,6 +66,31 @@ def detect_mentions(
 
     One row per (document, matched alias) with its occurrence count.
     """
+    aliases = frozenset(
+        r["norm"] for r in gazetteer.select("norm").distinct().collect()
+    )
+    counts_udf = make_mention_counts_udf(aliases)
+    return (
+        docs.select(
+            F.col(key_col).alias("key"),
+            F.explode(counts_udf(F.col(text_col))).alias("m"),
+        )
+        .select(
+            "key",
+            F.col("m.norm").alias("norm"),
+            F.col("m.n").cast("long").alias("n_mentions"),
+        )
+    )
+
+
+def detect_mentions_exploded(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-Catalyst variant (token explode → broadcast join → groupBy);
+    the semantics twin of :func:`detect_mentions` and of the oracle."""
     tokens = tokenize(docs, key_col, text_col)
     aliases = gazetteer.select("norm").distinct()
     return (

@@ -42,8 +42,13 @@ def doc_triples(docs: DataFrame) -> DataFrame:
 
 
 def mention_triples(linked: DataFrame) -> DataFrame:
+    # (key, mentions, norm) is unique by construction (one linked row
+    # per (key, norm)); (key, linked_to, canonical) is NOT — two
+    # aliases of the same entity in one document collapse — so only
+    # that part pays a dedup shuffle, over narrow rows.
     return _t(linked, F.col("key"), "mentions", F.col("norm")).unionAll(
         _t(linked, F.col("key"), "linked_to", F.col("canonical_name"))
+        .dropDuplicates(["subj", "obj"])
     )
 
 
@@ -61,6 +66,15 @@ def same_as_triples(components: DataFrame) -> DataFrame:
     )
 
 
-def build_triples(*parts: DataFrame) -> DataFrame:
-    """Union triple parts; dedup exact (subj, pred, obj) repeats."""
-    return reduce(DataFrame.unionAll, parts).distinct()
+def build_triples(*parts: DataFrame, distinct: bool = False) -> DataFrame:
+    """Union triple parts — map-only by default.
+
+    Every part above is (subj, pred, obj)-unique by construction for
+    unique input urls (mention_triples dedups its one non-unique
+    piece), and predicates never collide across parts, so the union
+    needs NO global distinct — which would shuffle the entire edge
+    table.  Pass ``distinct=True`` for untrusted parts (e.g. a crawl
+    with repeated urls).
+    """
+    out = reduce(DataFrame.unionAll, parts)
+    return out.distinct() if distinct else out

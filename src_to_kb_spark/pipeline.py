@@ -58,10 +58,13 @@ def run_pipeline(
         # hot hosts AND guarantees the map stages actually fan out — a
         # small parquet input may arrive as one partition, which would
         # serialize the Arrow UDF stages regardless of cluster size.
+        # 4× parallelism: a UDF stage with exactly one task per core
+        # has no scheduling slack, so its wall time is the SLOWEST
+        # batch; smaller tasks pack the tail.
         from .runtime.skew import salted_repartition
 
         pages = salted_repartition(
-            pages, n_partitions=spark.sparkContext.defaultParallelism
+            pages, n_partitions=4 * spark.sparkContext.defaultParallelism
         )
 
     # The extract stage feeds four independent consumers (chunker,

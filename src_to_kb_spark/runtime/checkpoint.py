@@ -29,6 +29,7 @@ def write_stage(
     out_dir: str,
     stage: str,
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Write a stage output + per-partition lineage metrics.
 
@@ -37,7 +38,10 @@ def write_stage(
     """
     path = os.path.join(out_dir, stage)
     t0 = time.time()
-    df.write.mode(mode).parquet(path)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
     wall = time.time() - t0
 
     written = df.sparkSession.read.parquet(path)

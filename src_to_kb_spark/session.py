@@ -27,13 +27,22 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cpus, 8)
+        # 4× cores: tasks small enough for work-packing (a stage whose
+        # partition count equals the core count has zero slack — the
+        # slowest task IS the stage time), AQE coalesces upward-sized
+        # remains
+        shuffle_partitions = max(cpus * 4, 32)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep parallelism when coalescing: default advisory size
+        # (64 MB) collapses our narrow mid-pipeline shuffles to a
+        # handful of partitions, capping JVM stages at ~20% CPU
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

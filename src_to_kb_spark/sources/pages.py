@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -180,3 +181,68 @@ def synthetic_pages(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFr
         rows, "url string, warc_ts string, html binary, text string, lang string"
     )
     return df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+
+def _gen_text(
+    i: int, seed: int = 42, cluster_size: int = 4
+) -> tuple[str, str, str]:
+    """Deterministic (url, lang, text) for doc ``i`` — content depends
+    only on (i, seed), never on partitioning, so any parallelism level
+    sees the identical corpus.
+
+    Docs come in near-duplicate clusters of ``cluster_size`` (member k
+    drops its k-th line and repeats its k-th-from-last line) — real
+    crawls are 30-50% near-dup, candidate-pair count scales LINEARLY
+    with corpus size (C(c,2) per cluster), and the Jaccard-verify /
+    canonicalize stages get realistic weight.  Replicating a corpus
+    k× instead creates k-cliques of IDENTICAL docs — a quadratic
+    candidate structure no real n×-larger crawl has."""
+    member = i % cluster_size
+    base = i - member
+    rng = random.Random((seed << 32) ^ base)
+    host = _HOSTS[0] if rng.random() < 0.3 else rng.choice(_HOSTS[1:])
+    lang = rng.choices(
+        ["en", "de", "fr", "es", "unknown"], weights=[5, 2, 1, 1, 1]
+    )[0]
+    n_lines = rng.randint(8, 30)
+    lines = [
+        " ".join(rng.choices(_VOCAB, k=rng.randint(3, 25)))
+        for _ in range(n_lines)
+    ]
+    if member:
+        k = member % len(lines)
+        lines = lines[:k] + lines[k + 1 :] + [lines[-1 - k]]
+    ext = PAGE_EXTS[i % len(PAGE_EXTS)]
+    url = f"https://{host}/{lang}/p{i}{ext}"
+    return url, lang, "\n".join(lines)
+
+
+def synthetic_pages_distributed(
+    spark: SparkSession, n: int, seed: int = 42, n_partitions: int | None = None
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) generated ON THE EXECUTORS
+    via an Arrow UDF over ``spark.range(n)`` — the scaling-bench input
+    (driver-side row lists don't survive 10^5+ docs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<url: string, lang: string, text: string>")
+    def gen_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = [_gen_text(int(i), seed) for i in ids]
+        return pd.DataFrame(rows, columns=["url", "lang", "text"])
+
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+    base = spark.range(0, n, 1, n_partitions).select(
+        gen_udf(F.col("id")).alias("g"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=(F.col("id") % 86400).cast("int"))
+        ).alias("warc_ts"),
+    )
+    return base.select(
+        F.col("g.url").alias("url"),
+        "warc_ts",
+        F.encode(F.col("g.text"), "UTF-8").alias("html"),
+        F.col("g.text").alias("text"),
+        F.col("g.lang").alias("lang"),
+    )

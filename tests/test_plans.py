@@ -32,9 +32,22 @@ def test_ingest_is_map_only(spark):
     assert "Exchange" not in _plan(chunks), "extract+chunk must not shuffle"
 
 
-def test_mentions_broadcasts_gazetteer(spark):
+def test_mentions_is_map_only_closure_udf(spark):
+    """The shipped mention detector counts aliases in-row (dictionary
+    in the Arrow UDF closure): no join, no exchange — one map pass."""
     docs = extract_pages(load_pages(spark, SF_SMOKE))
     m = detect_mentions(docs, gazetteer_df(spark))
+    plan = _plan(m)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_mentions_exploded_broadcasts_gazetteer(spark):
+    from src_to_kb_spark.operators.mentions import detect_mentions_exploded
+
+    docs = extract_pages(load_pages(spark, SF_SMOKE))
+    m = detect_mentions_exploded(docs, gazetteer_df(spark))
     plan = _plan(m)
     assert "BroadcastHashJoin" in plan
     # the only exchange is the aggregation's — token stream filtered
@@ -42,12 +55,26 @@ def test_mentions_broadcasts_gazetteer(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_mentions_variants_agree(spark):
+    from src_to_kb_spark.operators.mentions import detect_mentions_exploded
+
+    docs = extract_pages(load_pages(spark, SF_SMOKE))
+    gaz = gazetteer_df(spark)
+    a = {(r.key, r.norm, r.n_mentions)
+         for r in detect_mentions(docs, gaz).collect()}
+    b = {(r.key, r.norm, r.n_mentions)
+         for r in detect_mentions_exploded(docs, gaz).collect()}
+    assert a == b
+
+
 def test_linking_broadcasts_gazetteer(spark):
     docs = extract_pages(load_pages(spark, SF_SMOKE))
     gaz = gazetteer_df(spark)
     linked = link_mentions(detect_mentions(docs, gaz), gaz)
+    # mentions are now UDF-closure-counted (no join); the candidate
+    # join against the gazetteer is the one broadcast
     plan = _plan(linked)
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
 
 
@@ -82,3 +109,33 @@ def test_filter_pushdown_reaches_scan(spark):
     )
     plan = _plan(df)
     assert "PushedFilters: [" in plan and "IsNotNull(doc_id)" in plan
+
+
+def test_neardup_plan_is_bounded_and_arrow_based(spark):
+    """Regression for two scale pathologies found at local[32]:
+    (a) carrying the full pre-checkpoint lineage into the band
+    self-join ballooned serialized task binaries to ~16 MB;
+    (b) computing minhash via Catalyst higher-order functions ran
+    interpreted (per-call MessageDigest reflection) and got slower
+    with MORE threads.  The shipped plan must read the shingle
+    features from a checkpointed scan and contain no md5 calls."""
+    from src_to_kb_spark.operators.dedup import neardup_pairs
+
+    docs = extract_pages(load_pages(spark, SF_SMOKE))
+    pairs = neardup_pairs(docs, threshold=0.6)
+    plan = _plan(pairs)
+    assert len(plan) < 200_000, f"plan blew up: {len(plan)} chars"
+    # all hashing happens inside the Arrow UDF before the checkpoint
+    assert "md5" not in plan
+    assert "ExistingRDD" in plan or "Scan" in plan
+
+
+def test_shingle_features_single_arrow_pass(spark):
+    """shingle set + band signatures come from ONE pandas-UDF
+    evaluation (struct output), not two UDF passes over the text."""
+    from src_to_kb_spark.operators.dedup import shingle_features
+
+    docs = extract_pages(load_pages(spark, SF_SMOKE))
+    plan = _plan(shingle_features(docs))
+    # one ArrowEvalPython for the cleaner (extract), one for features
+    assert plan.count("ArrowEvalPython") <= 2, plan.count("ArrowEvalPython")
