@@ -54,19 +54,21 @@ def _run_once(spark, sf_dir: str) -> tuple[dict[str, float], int]:
 
 def _scale_worker(cpus: int, n_docs: int) -> None:
     """Subprocess entry: run the full pipeline over the deterministic
-    generated corpus at one parallelism level, print one JSON line.
+    generated corpus on a local-cluster of cpus//8 REAL executor JVMs
+    (8 cores each) and print one JSON line.
 
-    Stage materializations for chunks, mentions→link, and
-    near-dup→components are INDEPENDENT given the persisted documents
-    table, so they are submitted as concurrent Spark jobs (threads) —
-    on a cluster these are three parallel stage writes; serializing
-    them leaves executors idle at every stage barrier.
+    Reports two timings: the full pipeline, and the map-side document-
+    processing core (extract + LSH band signatures) that dominates a
+    10^12-doc run — at sandbox input sizes the pipeline's fixed
+    per-job/barrier latency (~2 min regardless of parallelism) masks
+    executor scaling, while the map core scales with executors.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from src_to_kb_spark.operators.canonicalize import connected_components
     from src_to_kb_spark.operators.chunker import chunk_documents
-    from src_to_kb_spark.operators.dedup import neardup_pairs
+    from src_to_kb_spark.operators.dedup import (
+        make_bands_udf,
+        neardup_pairs,
+    )
     from src_to_kb_spark.operators.extract import extract_pages
     from src_to_kb_spark.operators.linking import link_mentions
     from src_to_kb_spark.operators.mentions import detect_mentions
@@ -77,45 +79,58 @@ def _scale_worker(cpus: int, n_docs: int) -> None:
         mention_triples,
         same_as_triples,
     )
-    from src_to_kb_spark.runtime.skew import salted_repartition
     from src_to_kb_spark.session import get_spark
     from src_to_kb_spark.sources.gazetteer import gazetteer_df
     from src_to_kb_spark.sources.pages import synthetic_pages_distributed
 
-    s = get_spark(f"bench-scale-{cpus}", cpus=cpus)
-    pages = synthetic_pages_distributed(s, n_docs)
+    from pyspark.sql import functions as F
+
+    n_exec = max(1, cpus // 8)
+    s = get_spark(
+        f"bench-scale-{cpus}",
+        cpus=cpus,
+        master=f"local-cluster[{n_exec},8,16384]",
+        extra_conf={"spark.executor.memory": "15g"},
+    )
+    # real executors need the package shipped — dogfood the
+    # spark-submit --py-files artifact
+    import subprocess as _sp
+
+    zip_path = _sp.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tools", "package_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    s.sparkContext.addPyFile(zip_path)
+
+    # generate directly into 4×cores balanced partitions — the
+    # generator's output is uniform, so a salted reshuffle of the raw
+    # corpus would be pure overhead (on a real deployment the input is
+    # a well-partitioned Iceberg table; salting belongs where skew
+    # exists, e.g. a raw crawl keyed by host)
+    pages = synthetic_pages_distributed(s, n_docs, n_partitions=4 * cpus)
     t0 = time.time()
-    docs = extract_pages(
-        salted_repartition(pages, n_partitions=4 * cpus)
-    ).persist()
+
+    # ---- map-side document-processing core (scales with executors) --
+    docs = extract_pages(pages).persist()
     docs.count()
+    bands_udf = make_bands_udf()
+    docs.select(
+        F.col("url").alias("key"), bands_udf(F.col("text")).alias("bands")
+    ).write.format("noop").mode("overwrite").save()
+    t_core = time.time() - t0
+
+    # ---- the rest of the pipeline ----------------------------------
     gaz = gazetteer_df(s)
-
-    def mk_chunks():
-        c = chunk_documents(docs).persist()
-        c.count()
-        return c
-
-    def mk_linked():
-        ln = link_mentions(detect_mentions(docs, gaz), gaz).persist()
-        ln.count()
-        return ln
-
-    def mk_comp():
-        p = neardup_pairs(docs, threshold=0.6).persist()
-        p.count()
-        cp = connected_components(p).persist()
-        cp.count()
-        return cp
-
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        f_chunks = ex.submit(mk_chunks)
-        f_linked = ex.submit(mk_linked)
-        f_comp = ex.submit(mk_comp)
-        chunks, linked, comp = (
-            f_chunks.result(), f_linked.result(), f_comp.result()
-        )
-
+    chunks = chunk_documents(docs).persist()
+    chunks.count()
+    linked = link_mentions(detect_mentions(docs, gaz), gaz).persist()
+    linked.count()
+    pairs = neardup_pairs(docs, threshold=0.6).persist()
+    pairs.count()
+    comp = connected_components(pairs).persist()
+    comp.count()
     n = build_triples(
         doc_triples(docs), mention_triples(linked),
         same_as_triples(comp), chunk_triples(chunks),
@@ -124,8 +139,11 @@ def _scale_worker(cpus: int, n_docs: int) -> None:
     print(json.dumps({
         "sec": round(dt, 3),
         "triples_per_sec": round(n / dt, 1),
+        "map_core_sec": round(t_core, 3),
+        "map_core_docs_per_sec": round(n_docs / t_core, 1),
         "n_docs": n_docs,
         "n_triples": n,
+        "n_executors": n_exec,
     }))
     s.stop()
 
@@ -194,9 +212,17 @@ def main() -> None:
             )
         tp8 = scale_results["local[8]"]["triples_per_sec"]
         tp32 = scale_results["local[32]"]["triples_per_sec"]
+        mc8 = scale_results["local[8]"]["map_core_docs_per_sec"]
+        mc32 = scale_results["local[32]"]["map_core_docs_per_sec"]
         result["scaling"] = {
             **scale_results,
             "efficiency_n_to_4n": round(tp32 / (4 * tp8), 3) if tp8 else None,
+            # the map-side document-processing core is what dominates a
+            # 10^12-doc run; its efficiency is the cluster-scaling
+            # signal once the sandbox's fixed per-job latency amortizes
+            "map_core_efficiency_n_to_4n": (
+                round(mc32 / (4 * mc8), 3) if mc8 else None
+            ),
         }
         result.setdefault(
             "value", scale_results["local[32]"]["sec"]

@@ -104,20 +104,40 @@ def main(argv: list[str] | None = None) -> dict:
             write_stage(make(), args.output, name, partition_by=partition_by)
         return read_stage(spark, args.output, name)
 
-    chunks = stage(
-        "chunks",
-        lambda: chunk_documents(documents, args.chunk_size, args.overlap),
-    )
-    linked = stage(
-        "linked", lambda: link_mentions(detect_mentions(documents, gaz), gaz)
-    )
-    pairs = stage(
-        "neardup_pairs",
-        lambda: neardup_pairs(documents, threshold=args.neardup_threshold),
-    )
-    components = stage(
-        "components", lambda: connected_components(pairs)
-    )
+    # chunks, mention-linking, and near-dup→components are independent
+    # given the committed documents table — submit their stage writes
+    # as concurrent Spark jobs (on a cluster: three parallel writers;
+    # serializing them idles executors at every stage barrier)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def mk_chunks():
+        return stage(
+            "chunks",
+            lambda: chunk_documents(documents, args.chunk_size, args.overlap),
+        )
+
+    def mk_linked():
+        return stage(
+            "linked",
+            lambda: link_mentions(detect_mentions(documents, gaz), gaz),
+        )
+
+    def mk_components():
+        pairs = stage(
+            "neardup_pairs",
+            lambda: neardup_pairs(documents, threshold=args.neardup_threshold),
+        )
+        return pairs, stage(
+            "components", lambda: connected_components(pairs)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_chunks = ex.submit(mk_chunks)
+        f_linked = ex.submit(mk_linked)
+        f_comp = ex.submit(mk_components)
+        chunks = f_chunks.result()
+        linked = f_linked.result()
+        pairs, components = f_comp.result()
     # partitioned by predicate: a query touching one predicate
     # (e.g. all same_as edges) scans one directory, not the table
     triples = stage(
