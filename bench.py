@@ -6,8 +6,12 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 reports per-query wall seconds plus the pipeline's triples/sec.
 
 Scaling evidence (north_rule, sandbox proxy): ``--scaling`` runs the
-full KG pipeline at two parallelism levels (local[8] vs local[32]) on
-the same input and reports throughput at both and the N→4N efficiency.
+full KG pipeline on the same deterministic generated corpus at two
+REAL executor-JVM cluster sizes (``local-cluster[1,8,16g]`` vs
+``local-cluster[4,8,16g]``, package shipped via the --py-files zip)
+and reports full-pipeline and map-core throughput at both plus the
+N→4N efficiencies.  See BASELINE.md "Measured results" for the
+recorded numbers and the single-box-proxy caveats.
 """
 
 from __future__ import annotations
