@@ -188,7 +188,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_embeddings(spark, sf):
         from src_to_kb_spark.operators.embed import embed_chunks
 
-        return embed_chunks(chunk_documents(_docs(spark, sf)))
+        # exploded nonzero components, rounded — the compare-friendly
+        # projection of the real operator (float64 so both engines
+        # round identical values; component math is exact, see embed.py)
+        emb = embed_chunks(
+            chunk_documents(_docs(spark, sf)), vec_type="double"
+        )
+        return (
+            emb.select(
+                "chunk_id", F.posexplode("embedding").alias("bucket", "val")
+            )
+            .select("chunk_id", "bucket", F.round("val", 6).alias("val"))
+            .filter(F.col("val") != 0)
+        )
 
     def q_embedding_neardup(spark, sf):
         from src_to_kb_spark.operators.similarity import embedding_neardup_pairs
@@ -422,6 +434,13 @@ FROM chunks_r GROUP BY doc_uid
 {oracle_search_chunks_sql(SEARCH_QUERY, mode="developer", limit=10)}
 """
 
+    from src_to_kb_spark.operators.embed import oracle_embeddings_sql
+
+    embeddings_sql = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
+{chunk_ctes}
+{oracle_embeddings_sql()}
+"""
+
     # Flagship: the FULL pipeline (doc + mention + link + same_as +
     # chunk triples) as one DuckDB query — every stage has a CTE twin.
     pipeline_triples_sql = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
@@ -462,6 +481,7 @@ SELECT DISTINCT subj, pred, obj FROM (
         "reconstruct_content": reconstruct_content,
         "search_chunks": search_chunks_sql,
         "pipeline_triples": pipeline_triples_sql,
+        "embeddings": embeddings_sql,
         "lang_distribution": lang_dist,
         "kb_stats": kb_stats,
         "search_docs": search_docs,
@@ -475,6 +495,5 @@ SELECT DISTINCT subj, pred, obj FROM (
         "neardup_components": neardup_components,
         "knn_cosine": knn_cosine,
         "text_stats": text_stats_sql,
-        # embeddings / search_answer: rows-only — float-array value
-        # hashing across engines / driver-side answer assembly.
+        # search_answer: rows-only — driver-side answer assembly.
     }

@@ -45,8 +45,8 @@ def _embed_texts(texts: list[str], dim: int) -> list[list[float]]:
     return out
 
 
-def make_embed_udf(dim: int = EMBED_DIM):
-    @pandas_udf("array<float>")
+def make_embed_udf(dim: int = EMBED_DIM, vec_type: str = "float"):
+    @pandas_udf(f"array<{vec_type}>")
     def embed_udf(content: pd.Series) -> pd.Series:
         return pd.Series(_embed_texts(content.tolist(), dim))
 
@@ -54,11 +54,61 @@ def make_embed_udf(dim: int = EMBED_DIM):
 
 
 def embed_chunks(
-    chunks: DataFrame, dim: int = EMBED_DIM, content_col: str = "content"
+    chunks: DataFrame,
+    dim: int = EMBED_DIM,
+    content_col: str = "content",
+    vec_type: str = "float",
 ) -> DataFrame:
     """chunks → embeddings(chunk_id, embedding) — the S9 sink shape
-    ({id, embedding} per chunk, kb-generator.js:477-484)."""
-    udf = make_embed_udf(dim)
+    ({id, embedding} per chunk, kb-generator.js:477-484).
+
+    ``vec_type='double'`` keeps full float64 — used by the exploded
+    oracle-compare projection, where float32 quantization would make
+    rounded values engine-dependent.  The component values are exact:
+    per-bucket sums are integers and the L2 norm is sqrt of an integer,
+    so both engines compute bit-identical doubles.
+    """
+    udf = make_embed_udf(dim, vec_type)
     return chunks.select(
         "chunk_id", udf(F.col(content_col)).alias("embedding")
     )
+
+
+def oracle_embeddings_sql(dim: int = EMBED_DIM,
+                          chunks_rel: str = "chunks_r") -> str:
+    """DuckDB twin of the exploded embedding projection
+    (chunk_id, bucket, val≠0 rounded 6dp) over a chunker CTE."""
+    return f"""
+, emb_tok0 AS (
+  SELECT chunk_id, unnest(string_split_regex(
+           lower(substr(content, 1, {MAX_EMBED_CHARS})), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(
+           lower(substr(content, 1, {MAX_EMBED_CHARS})), '\\s+'), 1) AS i0
+  FROM {chunks_rel}
+),
+emb_tok AS (
+  SELECT chunk_id, tok,
+         row_number() OVER (PARTITION BY chunk_id ORDER BY i0) AS i
+  FROM emb_tok0 WHERE tok <> ''
+),
+emb_grams AS (
+  SELECT chunk_id, tok AS g FROM emb_tok
+  UNION ALL
+  SELECT a.chunk_id, a.tok || ' ' || b.tok
+  FROM emb_tok a
+  JOIN emb_tok b ON b.chunk_id = a.chunk_id AND b.i = a.i + 1
+),
+emb_acc AS (
+  SELECT chunk_id,
+         (('0x' || substr(md5(g), 1, 8))::UBIGINT % {dim})::INT AS bucket,
+         sum(CASE WHEN ('0x' || substr(md5(g), 9, 2))::INT & 1 = 1
+                  THEN 1 ELSE -1 END)::DOUBLE AS v
+  FROM emb_grams GROUP BY 1, 2
+),
+emb_norm AS (
+  SELECT chunk_id, sqrt(sum(v * v)) AS nn FROM emb_acc GROUP BY 1
+)
+SELECT a.chunk_id, a.bucket, round(a.v / n.nn, 6) AS val
+FROM emb_acc a JOIN emb_norm n USING (chunk_id)
+WHERE n.nn > 0 AND round(a.v / n.nn, 6) <> 0
+"""
