@@ -441,6 +441,13 @@ FROM chunks_r GROUP BY doc_uid
 {oracle_embeddings_sql()}
 """
 
+    from src_to_kb_spark.queries.answers import oracle_search_answer_sql
+
+    search_answer_sql = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
+{chunk_ctes}
+{oracle_search_answer_sql(SEARCH_QUERY, mode="developer", limit=10)}
+"""
+
     # Flagship: the FULL pipeline (doc + mention + link + same_as +
     # chunk triples) as one DuckDB query — every stage has a CTE twin.
     pipeline_triples_sql = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
@@ -482,6 +489,7 @@ SELECT DISTINCT subj, pred, obj FROM (
         "search_chunks": search_chunks_sql,
         "pipeline_triples": pipeline_triples_sql,
         "embeddings": embeddings_sql,
+        "search_answer": search_answer_sql,
         "lang_distribution": lang_dist,
         "kb_stats": kb_stats,
         "search_docs": search_docs,
@@ -495,5 +503,4 @@ SELECT DISTINCT subj, pred, obj FROM (
         "neardup_components": neardup_components,
         "knn_cosine": knn_cosine,
         "text_stats": text_stats_sql,
-        # search_answer: rows-only — driver-side answer assembly.
     }

@@ -104,3 +104,71 @@ def language_set_answer(results: list[dict]) -> list[str]:
 def answer_from_df(query: str, results_df: DataFrame, mode: str = "developer") -> dict:
     rows = [r.asDict() for r in results_df.collect()]
     return generate_answer(query, rows, mode)
+
+
+def oracle_search_answer_sql(
+    query: str, mode: str = "developer", limit: int = 10,
+    chunks_rel: str = "chunks_r",
+) -> str:
+    """DuckDB twin of :func:`answer_from_df` over :func:`generate_answer`
+    for the non-empty-results developer path (the registered contract
+    query): single row (answer, confidence, total_matches, mode).
+
+    Builds on the ranked search CTEs (``sc_ranked`` with ``kept_snips``
+    and ``rn``).  The template is deterministic string assembly:
+    insertion-ordered distinct files via min(rn) per url; meaningful
+    snippets = flattened kept snippets of the top-3 rows with
+    length > 20, cleaned ([\\n\\r\\t]+ → ' ', trimmed, 200-char cap).
+    """
+    from .search import oracle_search_chunks_ctes
+
+    assert mode == "developer", "oracle covers the pass-through mode"
+    q = query.replace("'", "''")
+    nl = "chr(10)"
+    return oracle_search_chunks_ctes(query, mode, limit, chunks_rel) + f"""
+, ans_files AS (
+  SELECT url, min(rn) AS first_rn FROM sc_ranked WHERE rn <= 5 GROUP BY url
+),
+ans_snips AS (
+  SELECT rn, unnest(kept_snips) AS s,
+         generate_subscripts(kept_snips, 1) AS pos
+  FROM sc_ranked WHERE rn <= 3
+),
+ans_meaningful AS (
+  SELECT s, row_number() OVER (ORDER BY rn, pos) AS m
+  FROM ans_snips WHERE s IS NOT NULL AND length(s) > 20
+),
+ans_findings AS (
+  SELECT string_agg(
+           m || '. ' ||
+           CASE WHEN length(trim(regexp_replace(s, '[\\n\\r\\t]+', ' ', 'g'))) > 200
+                THEN substr(trim(regexp_replace(s, '[\\n\\r\\t]+', ' ', 'g')), 1, 200) || '...'
+                ELSE trim(regexp_replace(s, '[\\n\\r\\t]+', ' ', 'g')) END,
+           {nl} ORDER BY m) AS findings,
+         count(*) AS n_meaningful
+  FROM ans_meaningful WHERE m <= 3
+),
+ans_stats AS (
+  SELECT count(*) AS n_results,
+         max(CASE WHEN rn = 1 THEN score END) AS top_score
+  FROM sc_ranked
+),
+ans_filelist AS (
+  SELECT string_agg('  • ' || url, {nl} ORDER BY first_rn) AS files
+  FROM (SELECT url, first_rn FROM ans_files ORDER BY first_rn LIMIT 5)
+)
+SELECT
+  'Based on your search for "{q}", I found relevant code in:' || {nl} || {nl}
+  || CASE WHEN coalesce(f.n_meaningful, 0) > 0
+          THEN '📝 **Key findings**:' || {nl} || f.findings || {nl} || {nl}
+          ELSE '' END
+  || '📁 **Found in ' || s.n_results || ' location'
+  || CASE WHEN s.n_results > 1 THEN 's' ELSE '' END || '**:' || {nl}
+  || fl.files || {nl} || {nl}
+  || '💡 To get AI-powered answers, set OPENAI_API_KEY environment variable.'
+    AS answer,
+  least(s.top_score / 50.0, 1.0) AS confidence,
+  s.n_results AS total_matches,
+  '{mode}' AS mode
+FROM ans_stats s, ans_filelist fl LEFT JOIN ans_findings f ON TRUE
+"""

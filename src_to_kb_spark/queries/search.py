@@ -242,7 +242,7 @@ def _re2_ws_class() -> str:
     return "[" + "".join(f"\\x{{{ord(c):04x}}}" for c in JS_WHITESPACE) + "]"
 
 
-def oracle_search_chunks_sql(
+def oracle_search_chunks_ctes(
     query: str,
     mode: str = "developer",
     limit: int = 10,
@@ -305,7 +305,7 @@ def oracle_search_chunks_sql(
         for p in MODE_EXCLUDE.get(mode, [])
     )
 
-    return f"""
+    ctes = f"""
 , sc_base AS (
   SELECT *, lower(content) AS lc FROM {chunks_rel}
 ),
@@ -317,15 +317,32 @@ sc_scored AS (
 {excl}),
 sc_kept AS (
   SELECT *, {", ".join(kept_defs)} FROM sc_scored
-)
+),
+sc_ranked AS (
+  SELECT *, {prio} AS is_priority,
+         list_filter([{kept_list}], x -> x IS NOT NULL) AS kept_snips,
+         row_number() OVER (
+           ORDER BY {prio} DESC, score DESC, chunk_id
+         ) AS rn
+  FROM sc_kept
+  QUALIFY rn <= {limit}
+)"""
+    return ctes
+
+
+def oracle_search_chunks_sql(
+    query: str,
+    mode: str = "developer",
+    limit: int = 10,
+    chunks_rel: str = "chunks_r",
+) -> str:
+    return oracle_search_chunks_ctes(query, mode, limit, chunks_rel) + """
 SELECT doc_uid, url, lang, chunk_id, chunk_index, content,
        start_line, end_line, size, score,
-       array_to_string(list_filter([{kept_list}], x -> x IS NOT NULL),
-                       ' | ') AS snippets,
+       array_to_string(kept_snips, ' | ') AS snippets,
        substring(content, 1, 200) AS preview,
        least(score / 50.0, 1.0) AS confidence,
-       {prio} AS is_priority
-FROM sc_kept
-ORDER BY is_priority DESC, score DESC, chunk_id
-LIMIT {limit}
+       is_priority
+FROM sc_ranked
+ORDER BY rn
 """
