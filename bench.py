@@ -45,14 +45,16 @@ def _run_once(spark, sf_dir: str) -> tuple[dict[str, float], int]:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    n_triples = 0
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        # noop sink, NOT count(): Catalyst prunes deterministic UDF /
+        # projection work under a count aggregate, which under-measured
+        # queries whose cost lives in unprojected columns (r1 verdict)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        if name == "pipeline_triples":
-            n_triples = n
+    # row count for the throughput denominator only — untimed
+    n_triples = qs["pipeline_triples"](spark, sf_dir).count()
     return timings, n_triples
 
 
@@ -171,9 +173,10 @@ def main() -> None:
     }
     if sweep:
         spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
-        t_all = time.time()
         timings, n_triples = _run_once(spark, SF_DIR)
-        total = round(time.time() - t_all, 3)
+        # value = the measured sweep (sum of per-query noop-sink
+        # timings); the untimed denominator count pass is excluded
+        total = round(sum(timings.values()), 3)
         pipeline_sec = timings.get("pipeline_triples", total)
         spark.stop()
         result.update(

@@ -75,9 +75,16 @@ def main(argv: list[str] | None = None) -> dict:
     )
     os.makedirs(args.output, exist_ok=True)
 
-    pages = load_pages(spark, args.input)
+    # Untrusted-input precondition: every downstream triple part is
+    # (subj, pred, obj)-unique ONLY for unique urls (operators/
+    # triples.py build_triples docstring) — a crawl revisiting a page
+    # would otherwise emit duplicate triples.  Enforce it once at
+    # ingest (doc-granular shuffle, far cheaper than a distinct over
+    # the full edge table).
+    pages = load_pages(spark, args.input).dropDuplicates(["url"])
 
     # -- stage: documents (resume unit = url) ------------------------------
+    docs_delta = None  # extracted rows appended this run, if resuming
     if is_committed(args.output, "documents"):
         delta = resume_delta(pages, spark, args.output, "documents")
         if delta.limit(1).count() > 0:
@@ -85,8 +92,9 @@ def main(argv: list[str] | None = None) -> dict:
                 salted_repartition(
                     delta, n_partitions=spark.sparkContext.defaultParallelism
                 )
-            )
+            ).localCheckpoint()
             write_stage(docs_new, args.output, "documents", mode="append")
+            docs_delta = docs_new
     else:
         docs_all = extract_pages(
             salted_repartition(
@@ -96,12 +104,32 @@ def main(argv: list[str] | None = None) -> dict:
         write_stage(docs_all, args.output, "documents")
     documents = read_stage(spark, args.output, "documents")
 
+    # -- resume semantics for downstream stages ----------------------------
+    # A documents delta invalidates every committed downstream result.
+    # Per-document (map-only) stages — chunks, linked — propagate the
+    # delta exactly: compute over the NEW documents only, append.
+    # Global stages — neardup_pairs, components, triples — depend on
+    # cross-document structure, so their committed markers are dropped
+    # and they recompute over the full documents table.
+    if docs_delta is not None:
+        for st in ("neardup_pairs", "components", "triples"):
+            marker = os.path.join(args.output, f"_committed_{st}")
+            if os.path.exists(marker):
+                os.remove(marker)
+
     # -- downstream stages (each committed-or-computed) --------------------
     gaz = gazetteer_df(spark)
 
-    def stage(name, make, partition_by=None):
+    def stage(name, make, partition_by=None, make_delta=None):
         if not is_committed(args.output, name):
             write_stage(make(), args.output, name, partition_by=partition_by)
+        elif docs_delta is not None and make_delta is not None:
+            # per-document stage: exact delta propagation (append rows
+            # derived from the new documents only)
+            write_stage(
+                make_delta(docs_delta), args.output, name, mode="append",
+                partition_by=partition_by,
+            )
         return read_stage(spark, args.output, name)
 
     # chunks, mention-linking, and near-dup→components are independent
@@ -114,12 +142,16 @@ def main(argv: list[str] | None = None) -> dict:
         return stage(
             "chunks",
             lambda: chunk_documents(documents, args.chunk_size, args.overlap),
+            make_delta=lambda d: chunk_documents(
+                d, args.chunk_size, args.overlap
+            ),
         )
 
     def mk_linked():
         return stage(
             "linked",
             lambda: link_mentions(detect_mentions(documents, gaz), gaz),
+            make_delta=lambda d: link_mentions(detect_mentions(d, gaz), gaz),
         )
 
     def mk_components():

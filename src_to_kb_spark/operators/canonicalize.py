@@ -6,12 +6,18 @@ or MinHash-matched entity-name pairs.  Output: (key, canon_id) where
 ``canon_id`` is the minimum key of the component (deterministic
 labeling), including singleton members of the input node set.
 
-Algorithm: iterative min-label propagation over DataFrames —
-each round every node adopts the minimum label in its closed
-neighborhood; converges in O(diameter) rounds.  No GraphFrames
-dependency.  Each round is one shuffle on the node key;
-``localCheckpoint`` truncates lineage so plans stay bounded (the
-standard pattern for iterative DataFrame algorithms at scale).
+Two paths:
+
+* **Driver union-find** for edge sets that fit on the driver (the
+  common case — LSH-verified pair graphs are sparse): one collect job,
+  near-linear labeling.
+* **Alternating large-star / small-star** (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", 2014) for the distributed case:
+  converges in O(log n) rounds — a 10k-node path graph labels in ~5
+  rounds where plain min-label propagation would need 10k (one round
+  per hop of diameter).  No GraphFrames dependency; each round is a
+  couple of key shuffles and ``localCheckpoint`` truncates lineage so
+  plans stay bounded.
 
 The DuckDB oracle expresses the same fixpoint with a recursive CTE
 (transitive closure + min), so canonicalization is fully
@@ -22,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LABEL_SCHEMA = "key string, canon_id string"
 
 
 def connected_components(
@@ -34,79 +42,124 @@ def connected_components(
 
     Hybrid strategy: LSH-verified candidate graphs are sparse, so when
     the edge set fits comfortably on the driver (≤ ``driver_threshold``
-    edges) a local union-find labels it in one pass — same labels, two
-    jobs total.  A few million collected edge rows is well within any
-    driver's budget and union-find is near-linear, whereas each
-    label-propagation round costs several barriered jobs — so the
-    threshold is deliberately generous.  Above it (or with
-    ``driver_threshold=None``) the distributed min-label propagation
-    runs; that path is the one that matters at 10^12 documents, where
-    the pair set itself can be billions of rows.
+    edges) a local union-find labels it — a few million collected edge
+    rows is well within any driver's budget and union-find is
+    near-linear, whereas every distributed round costs several
+    barriered jobs.  The size probe is a single ``limit(threshold+1)``
+    collect (NOT a separate count job): in the common small case the
+    probe result IS the edge set and no second job runs.  Above the
+    threshold (or with ``driver_threshold=None``) the alternating
+    star algorithm runs — the path that matters at 10^12 documents,
+    where the pair set itself can be billions of rows.
     """
-    # Checkpoint the symmetrized edges FIRST and derive the node set
-    # from the checkpointed plan — deriving it from the pre-checkpoint
-    # plan would re-run the (expensive) upstream pair computation a
-    # second time when nodes are materialized.
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("key_a").alias("a"), F.col("key_b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+
+    if driver_threshold is not None:
+        probe = e.limit(driver_threshold + 1).toPandas()
+        if len(probe) <= driver_threshold:
+            return _components_driver(spark, probe, nodes)
+        # too big for the driver: fall through; the distributed path
+        # re-reads `edges` (upstream should be a committed stage table
+        # or checkpoint — true wherever the pipeline calls this)
+
+    # symmetrize once; lazy checkpoint = lineage truncation without an
+    # extra materialization barrier (the first round's job computes it)
     sym = (
-        edges.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
-        .union(
-            edges.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))
-        )
-        .localCheckpoint()
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    node_df = sym.select(F.col("src").alias("key")).distinct()
+    node_df = sym.select(F.col("a").alias("key")).distinct()
     if nodes is not None:
         node_df = node_df.union(nodes.select("key")).distinct()
 
-    if driver_threshold is not None and sym.count() <= driver_threshold:
-        return _components_driver(edges.sparkSession, sym, node_df)
+    stars = _alternating_star(sym, max_iter)
 
-    labels = node_df.select("key", F.col("key").alias("label")).localCheckpoint()
-
-    for it in range(max_iter):
-        # min label over closed neighborhood
-        neighbor_labels = (
-            sym.join(labels, sym.dst == labels.key)
-            .select(F.col("src").alias("key"), "label")
-        )
-        new_labels = (
-            labels.select("key", "label")
-            .union(neighbor_labels)
-            .groupBy("key")
-            .agg(F.min("label").alias("label"))
-        )
-        # truncate lineage every few rounds; cache in between
-        if it % 4 == 3:
-            new_labels = new_labels.localCheckpoint()
-        else:
-            new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "key")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-
-    return labels.select("key", F.col("label").alias("canon_id"))
+    # star forest → labels; nodes without edges are their own canon
+    return node_df.join(
+        stars.select(F.col("u").alias("key"), F.col("v").alias("canon_id")),
+        "key",
+        "left",
+    ).select("key", F.coalesce("canon_id", "key").alias("canon_id"))
 
 
-def _components_driver(spark, sym: DataFrame, node_df: DataFrame) -> DataFrame:
+def _large_star(sym: DataFrame) -> DataFrame:
+    """For each center u with neighborhood Γ(u): connect every LARGER
+    neighbor to m = min(Γ(u) ∪ {u}).  Output directed (u, v): u → its
+    current smaller representative.  Input must be symmetric."""
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    mins = mins.select("a", F.least("mn", "a").alias("m"))
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each center u over its SMALLER-or-equal neighborhood N(u):
+    connect every member (and u itself) to m = min(N(u) ∪ {u}).
+    Input/output directed big → small."""
+    ee = e.select(
+        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    mins = ee.groupBy("a").agg(F.min("b").alias("m"))
+    out = (
+        ee.join(mins, "a")
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("a").alias("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def _alternating_star(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Alternate large-star / small-star until fixpoint → star forest
+    (u, v=component min) for every non-root u.  O(log n) rounds."""
+    e = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    prev_cnt = -1
+    prev: DataFrame | None = None
+    for _ in range(max_iter):
+        ls = _large_star(e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+                         .union(e.select(F.col("v").alias("a"),
+                                         F.col("u").alias("b"))))
+        new = _small_star(ls).localCheckpoint()  # eager: also the
+        # convergence-check reuse point; one materialization per round
+        cnt = new.count()
+        if prev is not None and cnt == prev_cnt:
+            # counts stable → verify exact fixpoint (cheap: both sides
+            # checkpointed; exceptAll on the small current edge set)
+            if new.exceptAll(prev).limit(1).count() == 0:
+                e = new
+                break
+        prev, prev_cnt, e = new, cnt, new
+    return e
+
+
+def _components_driver(
+    spark, edge_pdf, nodes: DataFrame | None
+) -> DataFrame:
     """Union-find on collected edges — the small-graph fast path.
 
-    Arrow end-to-end: ``toPandas`` for the collect and a pandas frame
-    back through ``createDataFrame`` — the Row-object ``collect()`` /
-    list-of-tuples paths are 10-50× slower and turn this stage into a
-    serial bottleneck near the edge-count threshold.
-    """
+    Arrow end-to-end: the caller collected the (a, b) pandas frame;
+    labels go back through ``createDataFrame`` with an EXPLICIT schema
+    (an empty pandas frame would otherwise raise
+    CANNOT_INFER_EMPTY_SCHEMA — zero near-dup pairs is a perfectly
+    normal corpus)."""
     import pandas as pd
 
-    spdf = sym.toPandas()
-    nodes = node_df.toPandas()["key"].tolist()
-    parent: dict[str, str] = {n: n for n in nodes}
+    node_list = set(edge_pdf["a"].tolist()) | set(edge_pdf["b"].tolist())
+    if nodes is not None:
+        node_list |= {r["key"] for r in nodes.select("key").collect()}
+    if not node_list:
+        return spark.createDataFrame([], _LABEL_SCHEMA)
+
+    parent: dict[str, str] = {n: n for n in node_list}
 
     def find(x: str) -> str:
         while parent[x] != x:
@@ -114,12 +167,12 @@ def _components_driver(spark, sym: DataFrame, node_df: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for a, b in zip(spdf["src"].tolist(), spdf["dst"].tolist()):
+    for a, b in zip(edge_pdf["a"].tolist(), edge_pdf["b"].tolist()):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[ra] = rb
     groups: dict[str, list[str]] = {}
-    for n in nodes:
+    for n in node_list:
         groups.setdefault(find(n), []).append(n)
     keys: list[str] = []
     canons: list[str] = []
@@ -128,7 +181,7 @@ def _components_driver(spark, sym: DataFrame, node_df: DataFrame) -> DataFrame:
         keys.extend(members)
         canons.extend([canon] * len(members))
     out = pd.DataFrame({"key": keys, "canon_id": canons})
-    return spark.createDataFrame(out)
+    return spark.createDataFrame(out, schema=_LABEL_SCHEMA)
 
 
 def oracle_components_sql(edges_cte: str = "pairs") -> str:

@@ -29,15 +29,11 @@ arrays and counts intersections vectorized in pandas.
 
 from __future__ import annotations
 
-import re as _re
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
-# Java String.trim strips chars <= U+0020 from both ends.
-_JAVA_TRIM = _re.compile(r"^[\x00-\x20]+|[\x00-\x20]+$")
+from ..core.tokenize import RE2_WS_CLASS, ascii_tokens
 
 N_HASHES = 8
 N_BANDS = 2  # 4 rows per band
@@ -57,13 +53,11 @@ def exact_duplicates(docs: DataFrame, key_col: str = "url", text_col: str = "tex
 
 
 def shingle_py(text: str) -> list[str]:
-    """Distinct 3-token shingles of lower-cased, Java-``\\s``-split
-    text, preserving first-occurrence order.  Semantics pinned to the
-    Catalyst/DuckDB twin: ``split(lower(trim(text)), '\\s+')`` with
-    Java's ASCII ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]`` (Python's
-    ``str.split`` would also strip Unicode whitespace — wrong here)."""
-    t = _JAVA_TRIM.sub("", text or "").lower()
-    toks = _JAVA_WS.split(t) if t else []
+    """Distinct 3-token shingles under the pinned tokenization
+    (core/tokenize: ASCII-class split of lowered text, empty tokens
+    dropped — identical in the DuckDB twin), preserving
+    first-occurrence order."""
+    toks = ascii_tokens(text)
     if len(toks) < 3:
         return []
     seen: dict[str, None] = {}
@@ -288,13 +282,20 @@ def neardup_pairs(
     shingle sets are never materialized or shuffled.  The division +
     rounding stay in Catalyst so cross-engine rounding semantics
     (HALF_UP) match the DuckDB oracle.
+
+    Both checkpoints are LAZY: they still truncate lineage (the plan
+    downstream reads a checkpointed RDD scan) but materialize inside
+    the first consuming job instead of adding an eager driver barrier
+    each — two fewer serial jobs per pipeline run, which matters for
+    the north-rule scaling efficiency where barriered driver time is
+    the fixed cost that does not shrink with executors.
     """
     bands_udf = make_bands_udf()
     bands_df = docs.select(
         F.col(key_col).alias("key"),
         bands_udf(F.col(text_col)).alias("bands"),
-    ).localCheckpoint()
-    cands = _band_pairs(_band_rows(bands_df)).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    cands = _band_pairs(_band_rows(bands_df)).localCheckpoint(eager=False)
     cand_keys = (
         cands.select(F.col("key_a").alias("key"))
         .union(cands.select(F.col("key_b").alias("key")))
@@ -336,14 +337,13 @@ def neardup_pairs(
 # --------------------------- SimHash ---------------------------------------
 
 def simhash_py(text: str, bits: int = 64) -> int:
-    """Deterministic 64-bit SimHash over whitespace tokens: per-bit
-    majority vote of md5-derived token hashes.  Shared by the pandas
-    UDF and the pytest twin."""
+    """Deterministic 64-bit SimHash over pinned-tokenization tokens:
+    per-bit majority vote of md5-derived token hashes.  Shared by the
+    pandas UDF and the pytest twin."""
     import hashlib as _hl
 
     acc = [0] * bits
-    t = text.strip().lower()
-    toks = t.split() if t else []
+    toks = ascii_tokens(text)
     for tok in toks:
         hv = int.from_bytes(_hl.md5(tok.encode()).digest()[:8], "big")
         for b in range(bits):
@@ -375,19 +375,40 @@ def simhash_signatures(
     )
 
 
+def simhash_blocks(max_hamming: int) -> list[tuple[int, int]]:
+    """(bit_offset, n_bits) for ``max_hamming + 1`` blocks covering the
+    64-bit signature as evenly as possible.  Pigeonhole: ≤ k differing
+    bits spread over k+1 blocks leave at least one block untouched, so
+    joining on block equality guarantees candidate generation for every
+    true pair with hamming ≤ ``max_hamming`` — the parameters and the
+    recall guarantee move together."""
+    n = max_hamming + 1
+    if not 1 <= n <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    width, extra = divmod(64, n)
+    out, off = [], 0
+    for i in range(n):
+        w = width + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     key_col: str = "url",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4
-    16-bit blocks (pigeonhole: hamming ≤ 3 → at least one block equal),
-    self-join on (block_idx, block), verify hamming via bit_count.
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    ``max_hamming + 1`` blocks (see :func:`simhash_blocks` for the
+    pigeonhole guarantee), self-join on (block_idx, block), verify
+    hamming via bit_count.
 
     The block join is the LSH trick again — candidates per block are
     tiny, no quadratic pass at scale.
     """
+    blocks_spec = simhash_blocks(max_hamming)
     sigs = simhash_signatures(docs, key_col, text_col)
     blocks = sigs.select(
         "key",
@@ -397,11 +418,11 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i, (off, w) in enumerate(blocks_spec)
                 ]
             )
         ).alias("b"),
@@ -434,12 +455,17 @@ def simhash_neardup_pairs(
 # --------------------------- DuckDB twins ----------------------------------
 
 def oracle_shingles_cte(pages_rel: str = "pages") -> str:
+    # Pinned tokenization (core/tokenize): explicit ASCII class, no
+    # trim, empty tokens dropped — identical to shingle_py.
     return f"""
-ptok AS (
+ptok0 AS (
   SELECT url AS key,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token,
-         generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS pos
+         unnest(string_split_regex(lower(text), '{RE2_WS_CLASS}+')) AS token,
+         generate_subscripts(string_split_regex(lower(text), '{RE2_WS_CLASS}+'), 1) AS pos
   FROM {pages_rel}
+),
+ptok AS (
+  SELECT * FROM ptok0 WHERE token <> ''
 ),
 shingles AS (
   SELECT DISTINCT key, token || ' ' || t1 || ' ' || t2 AS shingle
@@ -519,10 +545,14 @@ def oracle_simhash_sql(max_hamming: int = 3, pages_rel: str = "pages") -> str:
     preserves block equality and XOR hamming, so the oracle works on
     ``xor(raw, 1<<63)`` as UBIGINT throughout.
     """
+    blocks_spec = simhash_blocks(max_hamming)
+    block_rows = ", ".join(
+        f"({i}, {off}, {(1 << w) - 1})" for i, (off, w) in enumerate(blocks_spec)
+    )
     return f"""
 , tok AS (
   SELECT url AS key,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+         unnest(string_split_regex(lower(text), '{RE2_WS_CLASS}+')) AS token
   FROM {pages_rel}
 ),
 th AS (
@@ -546,8 +576,10 @@ sigs AS (
   FROM {pages_rel} p LEFT JOIN raw r ON r.key = p.url
 ),
 blocks AS (
-  SELECT key, flip, ii.i AS blk, (flip >> (ii.i * 16)) & 65535 AS val
-  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS i) ii
+  SELECT key, flip, bs.blk, (flip >> bs.off) & bs.mask::UBIGINT AS val
+  FROM sigs CROSS JOIN (
+    SELECT * FROM (VALUES {block_rows}) AS t(blk, off, mask)
+  ) bs
 ),
 sim_cands AS (
   SELECT DISTINCT a.key AS key_a, b.key AS key_b,

@@ -27,11 +27,13 @@ MAX_EMBED_CHARS = 8000  # kb-generator.js:434-437 (P8)
 
 
 def _embed_texts(texts: list[str], dim: int) -> list[list[float]]:
+    from ..core.tokenize import ascii_tokens
+
     out = []
     for t in texts:
-        t = (t or "")[:MAX_EMBED_CHARS].lower()
+        t = (t or "")[:MAX_EMBED_CHARS]
         vec = np.zeros(dim, dtype=np.float64)
-        toks = t.split()
+        toks = ascii_tokens(t)
         grams = toks + [" ".join(p) for p in zip(toks, toks[1:])]
         for g in grams:
             h = hashlib.md5(g.encode()).digest()
@@ -78,12 +80,14 @@ def oracle_embeddings_sql(dim: int = EMBED_DIM,
                           chunks_rel: str = "chunks_r") -> str:
     """DuckDB twin of the exploded embedding projection
     (chunk_id, bucket, val≠0 rounded 6dp) over a chunker CTE."""
+    from ..core.tokenize import RE2_WS_CLASS
+
     return f"""
 , emb_tok0 AS (
   SELECT chunk_id, unnest(string_split_regex(
-           lower(substr(content, 1, {MAX_EMBED_CHARS})), '\\s+')) AS tok,
+           lower(substr(content, 1, {MAX_EMBED_CHARS})), '{RE2_WS_CLASS}+')) AS tok,
          generate_subscripts(string_split_regex(
-           lower(substr(content, 1, {MAX_EMBED_CHARS})), '\\s+'), 1) AS i0
+           lower(substr(content, 1, {MAX_EMBED_CHARS})), '{RE2_WS_CLASS}+'), 1) AS i0
   FROM {chunks_rel}
 ),
 emb_tok AS (

@@ -20,22 +20,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _JAVA_TRIM, _JAVA_WS
+from ..core.tokenize import JAVA_WS_CLASS, RE2_WS_CLASS, ascii_tokens
 
 
 def tokenize(docs: DataFrame, key_col: str = "url", text_col: str = "text") -> DataFrame:
-    """(key, token) — lower-cased, split on whitespace runs of trimmed text."""
+    """(key, token) — pinned tokenization (core/tokenize): explicit
+    ASCII class, empty tokens dropped; no trim (redundant under the
+    empty-token filter, and engine trims disagree on control chars)."""
     return docs.select(
         F.col(key_col).alias("key"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), f"{JAVA_WS_CLASS}+")
+        ).alias("token"),
     ).filter(F.col("token") != "")
 
 
 def tokenize_py(text: str) -> list[str]:
-    """Python twin of :func:`tokenize` (Java ``\\s`` class, not
-    Python's Unicode whitespace)."""
-    t = _JAVA_TRIM.sub("", text or "").lower()
-    return [tok for tok in _JAVA_WS.split(t) if tok] if t else []
+    """Python twin of :func:`tokenize` (same pinned ASCII class)."""
+    return ascii_tokens(text)
 
 
 def make_mention_counts_udf(aliases: frozenset[str]):
@@ -105,7 +107,7 @@ def oracle_mentions_cte(pages_rel: str = "pages", gaz_rel: str = "gazetteer") ->
     return f"""
 tok AS (
   SELECT url AS key,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+         unnest(string_split_regex(lower(text), '{RE2_WS_CLASS}+')) AS token
   FROM {pages_rel}
 ),
 mentions AS (

@@ -69,16 +69,21 @@ def embedding_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucketed: bool = False,
-    n_bits: int = 4,
+    bucketed: bool = True,
+    n_bits: int = 3,
+    n_tables: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim ≥
     threshold), cos rounded to 4 dp.
 
-    ``bucketed=False`` is the exact quadratic baseline (oracle-checked);
-    ``bucketed=True`` restricts candidates to equal SimHash buckets —
-    the scale path (bucket join instead of cross join; recall measured
-    against the exact variant in tests).
+    ``bucketed=True`` (default — the registered scale path) restricts
+    candidates to pairs colliding in any of ``n_tables`` independent
+    ``n_bits``-hyperplane SimHash tables: hash-partitioned equi-joins
+    whose per-bucket candidate count stays bounded at 100× data, vs
+    the ``bucketed=False`` exact quadratic baseline (kept as the
+    pytest recall reference — a cross join would be a cartesian
+    product at scale).  Pass ``dim`` to avoid a probe job.
     """
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
@@ -87,10 +92,41 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
     )
     if bucketed:
-        dim = len(embeddings.select(vec_col).first()[0])
-        a = a.withColumn("bucket", lsh_bucket(F.col("v_a"), dim, n_bits))
-        b = b.withColumn("bucket", lsh_bucket(F.col("v_b"), dim, n_bits))
-        joined = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+        if dim is None:
+            dim = len(embeddings.select(vec_col).first()[0])
+
+        def with_tables(df, vcol):
+            return df.select(
+                "*",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("tbl"),
+                                lsh_bucket(
+                                    F.col(vcol), dim, n_bits,
+                                    plane_offset=t * n_bits,
+                                ).alias("bucket"),
+                            )
+                            for t in range(n_tables)
+                        ]
+                    )
+                ).alias("tb"),
+            ).select("*", F.col("tb.tbl").alias("tbl"),
+                     F.col("tb.bucket").alias("bucket")).drop("tb")
+
+        # OR-amplified multi-table LSH: a pair is a candidate if it
+        # collides in ANY of the n_tables independent n_bits-plane
+        # tables (recall 1-(1-p^b)^T vs p^b for one table).  The join
+        # is a hash-partitioned equi-join on (table, bucket); at 100×
+        # data you raise n_bits (smaller buckets) and n_tables
+        # (recall) together — never a cross join.
+        joined = (
+            with_tables(a, "v_a")
+            .join(with_tables(b, "v_b"), ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     else:
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
@@ -114,11 +150,17 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return vals[:dim]
 
 
-def lsh_bucket(vec_col: Column, dim: int, n_bits: int = 8) -> Column:
-    """SimHash bucket id: sign pattern of ``n_bits`` hyperplane dots."""
+def lsh_bucket(
+    vec_col: Column, dim: int, n_bits: int = 8, plane_offset: int = 0
+) -> Column:
+    """SimHash bucket id: sign pattern of ``n_bits`` hyperplane dots.
+    ``plane_offset`` selects an independent hyperplane family — table
+    t of a multi-table LSH uses ``plane_offset = t * n_bits``."""
     bucket = F.lit(0)
     for b in range(n_bits):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, b)])
+        plane = F.array(
+            *[F.lit(v) for v in _hyperplane(dim, plane_offset + b)]
+        )
         bucket = bucket * 2 + F.when(_dot(vec_col, plane) >= 0, 1).otherwise(0)
     return bucket
 
@@ -159,6 +201,66 @@ def knn_lsh(
     )
 
 
+def _oracle_bucket_expr(
+    dim: int, n_bits: int, v: str, plane_offset: int = 0
+) -> str:
+    """DuckDB expression computing the SAME SimHash bucket as
+    :func:`lsh_bucket` — identical md5-derived hyperplane literals
+    (shortest-round-trip float repr parses back to the identical
+    double), first plane as the most-significant bit."""
+    planes = [_hyperplane(dim, plane_offset + b) for b in range(n_bits)]
+
+    def lit(p: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+    terms = [
+        f"CASE WHEN list_dot_product({v}, {lit(planes[b])}) >= 0 "
+        f"THEN {1 << (n_bits - 1 - b)} ELSE 0 END"
+        for b in range(n_bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def oracle_embedding_neardup_sql(
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_bits: int = 3,
+    n_tables: int = 8,
+    emb_rel: str = "embeddings",
+) -> str:
+    """DuckDB twin of the BUCKETED :func:`embedding_neardup_pairs`
+    (same hyperplane literals, same multi-table bucket-equality join,
+    cos rounded 4dp).  The registered scale path and its oracle share
+    the bucketing, so the cross-engine compare is exact; recall of the
+    bucketed variant vs the exact quadratic baseline is measured
+    separately in pytest."""
+    table_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_oracle_bucket_expr(dim, n_bits, 'v', plane_offset=t * n_bits)}"
+        f" AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    cos = (
+        "round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 4)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {emb_rel}),
+eb AS (
+  {table_rows}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM eb x JOIN eb y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b, {cos} AS cos_sim
+FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+WHERE {cos} >= {threshold}
+"""
+
+
 def oracle_knn_lsh_sql(
     k: int = 10,
     dim: int = 64,
@@ -167,22 +269,10 @@ def oracle_knn_lsh_sql(
     query_vec_id: int = 0,
 ) -> str:
     """DuckDB twin of :func:`knn_lsh` for a query vector taken from the
-    table itself.  The hyperplanes are the SAME Python-side md5-derived
-    literals :func:`lsh_bucket` embeds into the Spark plan, so both
-    engines compute identical buckets (shortest-round-trip float repr
-    parses back to the identical double)."""
-    planes = [_hyperplane(dim, b) for b in range(n_bits)]
-
-    def lit(p: list[float]) -> str:
-        return "[" + ",".join(repr(v) for v in p) + "]::DOUBLE[]"
+    table itself (bucket parity: see :func:`_oracle_bucket_expr`)."""
 
     def bucket_expr(v: str) -> str:
-        terms = [
-            f"CASE WHEN list_dot_product({v}, {lit(planes[b])}) >= 0 "
-            f"THEN {1 << (n_bits - 1 - b)} ELSE 0 END"
-            for b in range(n_bits)
-        ]
-        return "(" + " + ".join(terms) + ")"
+        return _oracle_bucket_expr(dim, n_bits, v)
 
     return f"""
 WITH q AS (

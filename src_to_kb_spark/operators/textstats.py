@@ -11,11 +11,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..core.tokenize import JAVA_WS_CLASS, RE2_WS_CLASS
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
 def _tokens(text: Column) -> Column:
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    # explicit pinned class — Java's \s and RE2's \s disagree on \x0b,
+    # so both twins spell the class out (empty tokens KEPT here: the
+    # JS-''.split-like count semantics are part of the operator)
+    return F.split(F.lower(F.trim(text)), f"{JAVA_WS_CLASS}+")
 
 
 def token_count(text: Column) -> Column:
@@ -84,11 +89,13 @@ def text_stats(docs: DataFrame, key_col: str = "url", text_col: str = "text") ->
 
 # --------------------------- DuckDB twins ----------------------------------
 
-_TOK_SQL = "string_split_regex(lower(trim({col})), '\\s+')"
+def _tok_sql(col: str) -> str:
+    # not str.format: the RE2 class contains literal {0B} braces
+    return f"string_split_regex(lower(trim({col})), '{RE2_WS_CLASS}+')"
 
 
 def oracle_text_stats_sql(col: str = "text") -> dict[str, str]:
-    toks = _TOK_SQL.format(col=col)
+    toks = _tok_sql(col)
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     n = f"len({toks})::DOUBLE"
     sw = f"len(list_filter({toks}, t -> t IN ({stop_list})))::DOUBLE"
@@ -97,7 +104,8 @@ def oracle_text_stats_sql(col: str = "text") -> dict[str, str]:
     return {
         "n_tokens": f"len({toks})",
         "n_tokens_bpe": (
-            f"len(regexp_extract_all({col}, '\\w+|[^\\w\\s]'))"
+            # \x{0B} appended: RE2's \s lacks vertical tab, Java's has it
+            f"len(regexp_extract_all({col}, '\\w+|[^\\w\\s\\x{{0B}}]'))"
         ),
         "n_chars": f"length({col})",
         "quality": (

@@ -66,8 +66,9 @@ def sha256(s: str) -> str:
 
 
 def tokens_of(text: str) -> list[str]:
-    t = text.strip()
-    return [w for w in re.split(r"\s+", t.lower()) if w] if t else []
+    # pinned ASCII tokenization — must match core/tokenize.ascii_tokens
+    # (Python \s+/strip() would add Unicode whitespace semantics)
+    return [w for w in re.split(r"[ \t\n\x0b\f\r]+", text.lower()) if w]
 
 
 def best_entity(norm: str, n_mentions: int):

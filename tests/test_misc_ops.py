@@ -208,3 +208,68 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception):
         extract_media_features(media, decode="real").collect()
+
+
+def test_simhash_blocks_cover_64_bits():
+    from src_to_kb_spark.operators.dedup import simhash_blocks
+
+    for mh in (0, 3, 8, 15):
+        spec = simhash_blocks(mh)
+        assert len(spec) == mh + 1
+        covered = []
+        for off, w in spec:
+            covered.extend(range(off, off + w))
+        assert covered == list(range(64)), f"max_hamming={mh}"
+
+
+def test_simhash_pigeonhole_exact_recall(spark):
+    """max_hamming=8 now runs with 9 blocks — pigeonhole guarantees
+    EVERY true pair with hamming <= 8 shares a block, so the banded
+    join must equal brute force exactly (the r1 contract registered
+    8 with 4 blocks, which only guaranteed <= 3)."""
+    from itertools import combinations
+
+    from src_to_kb_spark.sources.pages import synthetic_pages_rows
+
+    rows = [(u, t) for (u, _ts, _h, t, _l) in synthetic_pages_rows(n=120)]
+    sigs = {u: simhash_py(t) for u, t in rows}
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for (a, _), (b, _) in combinations(rows, 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 8
+    }
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        (min(r["key_a"], r["key_b"]), max(r["key_a"], r["key_b"]), r["hamming"])
+        for r in simhash_neardup_pairs(df, max_hamming=8).collect()
+    }
+    brute = {(min(a, b), max(a, b), h) for a, b, h in brute}
+    assert got == brute and len(brute) > 0
+
+
+def test_embedding_neardup_bucketed_recall(spark):
+    """Bucketed (registered) pairs must be a subset of the exact
+    quadratic baseline with usable recall on the driver testdata."""
+    from src_to_kb_spark.operators.similarity import embedding_neardup_pairs
+
+    from .conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, bucketed=False
+        ).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.4, bucketed=True, n_bits=3, n_tables=8, dim=64
+        ).collect()
+    }
+    assert bucketed <= exact
+    assert exact, "testdata must produce near-dup pairs"
+    recall = len(bucketed) / len(exact)
+    # OR-amplified 8×3-bit tables: 1-(1-p^3)^8 ≈ 0.9 at the 0.4-cos
+    # boundary (p ≈ 1 - θ/π ≈ 0.63); floor set below the measured value
+    assert recall >= 0.7, recall

@@ -139,3 +139,15 @@ def test_shingle_features_single_arrow_pass(spark):
     plan = _plan(shingle_features(docs))
     # one ArrowEvalPython for the cleaner (extract), one for features
     assert plan.count("ArrowEvalPython") <= 2, plan.count("ArrowEvalPython")
+
+
+def test_embedding_neardup_registered_is_not_quadratic(spark):
+    """The REGISTERED embedding near-dup must be the bucketed LSH
+    equi-join — no cartesian/nested-loop anywhere in the plan
+    (r1 verdict: the quadratic baseline was registered by mistake)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["embedding_neardup"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
