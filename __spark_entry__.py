@@ -60,6 +60,7 @@ from src_to_kb_spark.queries.search import (
     search_chunks,
     search_documents,
     similar_documents,
+    similar_documents_mcp,
 )
 from src_to_kb_spark.sources.gazetteer import gazetteer_df, oracle_gazetteer_cte
 from src_to_kb_spark.sources.pages import ORACLE_PAGES_CTE, load_pages
@@ -71,6 +72,38 @@ NEARDUP_THRESHOLD = 0.6
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pages → extract (pandas-UDF cleaner + built-in derivations)."""
     return extract_pages(load_pages(spark, sf_dir))
+
+
+def _committed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunks STAGE TABLE for ``sf_dir`` — computed once, committed
+    to a cache dir keyed on (sf_dir, input mtime), then served from the
+    parquet scan.  This is the real serving shape at 100 TB: search
+    queries hit the committed table, not an extract+chunk recompute
+    per invocation."""
+    import hashlib
+    import os
+    import tempfile
+
+    from src_to_kb_spark.runtime.checkpoint import (
+        is_committed,
+        read_stage,
+        write_stage,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        tag = f"{sf_dir}|{os.path.getmtime(src)}"
+    except OSError:
+        tag = sf_dir
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "src_to_kb_stage_cache",
+        hashlib.md5(tag.encode()).hexdigest()[:16],
+    )
+    if not is_committed(base, "chunks"):
+        os.makedirs(base, exist_ok=True)
+        write_stage(chunk_documents(_docs(spark, sf_dir)), base, "chunks")
+    return read_stage(spark, base, "chunks")
 
 
 # --------------------------------------------------------------------------
@@ -113,6 +146,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("url").first()["url"]
         )
         return similar_documents(docs, target_url, limit=25)
+
+    def q_similar_docs_mcp(spark, sf):
+        docs = _docs(spark, sf)
+        target_url = (
+            load_pages(spark, sf).filter(F.col("doc_id") == 0)
+            .select("url").first()["url"]
+        )
+        return similar_documents_mcp(docs, target_url, limit=25)
+
+    def q_search_chunks_kb(spark, sf):
+        # serving shape: committed chunks table -> pure-Catalyst search
+        # (no UDF re-run; plan-tested to be a parquet scan)
+        chunks = _committed_chunks(spark, sf)
+        res = search_chunks(chunks, SEARCH_QUERY, mode="developer", limit=10)
+        return res.select(
+            "doc_uid", "url", "lang", "chunk_id", "chunk_index", "content",
+            "start_line", "end_line", "size", "score",
+            F.array_join("context_snippets", " | ").alias("snippets"),
+            "preview", "confidence", "is_priority",
+        )
 
     def q_mentions(spark, sf):
         return detect_mentions(_docs(spark, sf), gazetteer_df(spark))
@@ -242,6 +295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_docs": q_search_docs,
         "search_by_type": q_search_by_type,
         "similar_docs": q_similar_docs,
+        "similar_docs_mcp": q_similar_docs_mcp,
+        "search_chunks_kb": q_search_chunks_kb,
         "mentions": q_mentions,
         "entity_link": q_entity_link,
         "triples_sql_subset": q_triples_sql_subset,
@@ -319,6 +374,24 @@ SELECT url, lang, type, similarity FROM (
   SELECT p.url, p.lang, {oracle_type_sql(oracle_ext_sql("p.url"))} AS type,
          (CASE WHEN p.lang = t.t_lang THEN 2.0 ELSE 0.0 END
           + CASE WHEN {oracle_type_sql(oracle_ext_sql("p.url"))} = t.t_type THEN 1.0 ELSE 0.0 END
+          + len(list_filter(string_split(t.t_url, '/'),
+                            x -> list_contains(string_split(p.url, '/'), x))) * 0.5
+         )::DOUBLE AS similarity
+  FROM pages p CROSS JOIN target t
+  WHERE p.url <> t.t_url
+) WHERE similarity > 0
+ORDER BY similarity DESC, url
+LIMIT 25
+"""
+
+    ext_p = oracle_ext_sql("p.url")
+    similar_docs_mcp = f"""{pages}
+, target AS (
+  SELECT url AS t_url, {ext} AS t_ext FROM pages WHERE doc_id = 0
+)
+SELECT url, language, similarity FROM (
+  SELECT p.url, {oracle_lang_sql(ext_p)} AS language,
+         (CASE WHEN {ext_p} = t.t_ext THEN 2.0 ELSE 0.0 END
           + len(list_filter(string_split(t.t_url, '/'),
                             x -> list_contains(string_split(p.url, '/'), x))) * 0.5
          )::DOUBLE AS similarity
@@ -482,6 +555,11 @@ SELECT DISTINCT subj, pred, obj FROM (
 
     return {
         "doc_ingest": doc_ingest,
+        "similar_docs_mcp": similar_docs_mcp,
+        # same rows as search_chunks: the committed chunks table holds
+        # exactly the chunker's output, so the chunker-CTE twin covers
+        # the serving-shape query too
+        "search_chunks_kb": search_chunks_sql,
         "embedding_neardup": embedding_neardup,
         "simhash_pairs": simhash_pairs,
         "knn_lsh": knn_lsh_sql,

@@ -18,38 +18,65 @@ from ..operators.chunker import chunk_documents
 from ..operators.extract import extract_pages
 
 
-def kb_summary(docs: DataFrame, chunks: DataFrame, config: dict | None = None) -> dict:
+def kb_summary_documents(docs: DataFrame, chunks: DataFrame) -> DataFrame:
+    """The per-document projection of summary.json as a DataFrame —
+    (id, path, size, chunks, language, type) — so the summary scales:
+    at 10^9 docs this is a table write, never a driver list."""
+    counts = chunks.groupBy("doc_uid").agg(F.count("*").alias("chunks"))
+    return (
+        docs.select("doc_uid", "url", "size", "language_ext", "type")
+        .join(counts, "doc_uid", "left")
+        .select(
+            F.col("doc_uid").alias("id"),
+            F.col("url").alias("path"),
+            "size",
+            F.coalesce("chunks", F.lit(0)).alias("chunks"),
+            F.col("language_ext").alias("language"),
+            F.col("type").alias("type"),
+        )
+    )
+
+
+def kb_summary(
+    docs: DataFrame,
+    chunks: DataFrame,
+    config: dict | None = None,
+    out_dir: str | None = None,
+    collect_documents: bool = False,
+) -> dict:
     """S10 — metadata/summary.json shape (kb-generator.js:487-509):
     run stats + per-document projection.  ``generatedAt`` is omitted by
-    design: determinism (SURVEY.md §7.4 hard-part 3)."""
-    per_doc_chunks = {
-        r["doc_uid"]: r["n"]
-        for r in chunks.groupBy("doc_uid").agg(F.count("*").alias("n")).collect()
-    }
-    doc_rows = docs.select("doc_uid", "url", "size", "language_ext", "type").collect()
+    design: determinism (SURVEY.md §7.4 hard-part 3).
+
+    The dict carries ONLY scalars by default — the per-document list
+    that the reference inlines into summary.json is a driver-side
+    bottleneck at scale, so it is written as a stage table when
+    ``out_dir`` is given (``summary_documents``) and inlined only on
+    explicit test-scale opt-in (``collect_documents=True``)."""
     totals = docs.agg(
         F.count("*").alias("files"), F.sum("size").alias("bytes")
     ).first()
-    return {
+    n_chunks = chunks.count()
+    summary: dict = {
         "stats": {
             "filesProcessed": totals["files"],
             "totalSize": int(totals["bytes"] or 0),
-            "totalChunks": int(sum(per_doc_chunks.values())),
+            "totalChunks": int(n_chunks),
             "errors": [],
         },
         "config": config or {"chunkSize": 1000, "chunkOverlap": 200},
-        "documents": [
-            {
-                "id": r["doc_uid"],
-                "path": r["url"],
-                "size": r["size"],
-                "chunks": per_doc_chunks.get(r["doc_uid"], 0),
-                "language": r["language_ext"],
-                "type": r["type"],
-            }
-            for r in doc_rows
-        ],
     }
+    per_doc = kb_summary_documents(docs, chunks)
+    if out_dir is not None:
+        from ..runtime.checkpoint import write_stage
+
+        write_stage(per_doc, out_dir, "summary_documents")
+        summary["documents_table"] = f"{out_dir}/summary_documents"
+    if collect_documents:
+        summary["documents"] = [
+            dict(r) for r in per_doc.toPandas().to_dict("records")
+        ]
+    return summary
 
 
 def reconstruct_content(chunks: DataFrame) -> DataFrame:

@@ -235,6 +235,41 @@ def similar_documents(
     return out.limit(limit) if limit else out
 
 
+def similar_documents_mcp(
+    docs: DataFrame, target_key: Column | str, limit: int | None = None
+) -> DataFrame:
+    """The MCP server's similar-files variant (mcp-server.mjs:188-213):
+    +2 same EXTENSION (not type), +0.5 per target path part present in
+    the candidate's parts, NO language bonus — a deliberate divergence
+    from the search.js variant (:func:`similar_documents`).  Output
+    (url, language, similarity), similarity desc / url asc (the
+    reference's JS sort is unstable on ties; url asc pins both
+    engines).  Broadcast single target row, map-side scoring."""
+    target = docs.filter(F.col("url") == target_key)
+    t = F.broadcast(
+        target.select(
+            F.col("url").alias("t_url"), F.col("ext").alias("t_ext")
+        )
+    )
+    joined = docs.crossJoin(t).filter(F.col("url") != F.col("t_url"))
+    t_parts = F.split(F.col("t_url"), "/")
+    d_parts = F.split(F.col("url"), "/")
+    common = F.size(F.filter(t_parts, lambda p: F.array_contains(d_parts, p)))
+    sim = (
+        F.when(F.col("ext") == F.col("t_ext"), 2.0).otherwise(0.0)
+        + common * 0.5
+    )
+    out = (
+        joined.withColumn("similarity", sim)
+        .filter(F.col("similarity") > 0)
+        .select(
+            "url", F.col("language_ext").alias("language"), "similarity"
+        )
+        .orderBy(F.desc("similarity"), F.asc("url"))
+    )
+    return out.limit(limit) if limit else out
+
+
 def _re2_ws_class() -> str:
     """JS_WS_CLASS re-escaped for RE2 (DuckDB): \\x{XXXX}, not \\uXXXX."""
     from ..core.textproc import JS_WHITESPACE

@@ -139,3 +139,19 @@ def test_minhash_udf_matches_catalyst_md5(spark):
         .collect()
     }
     assert cat == py
+
+
+def test_connected_components_distributed_path_graph(spark):
+    """10k-node path graph through the DISTRIBUTED branch: the
+    alternating large-star/small-star algorithm must label it in
+    O(log n) rounds (min-label propagation would need ~10k rounds —
+    one per hop of diameter — and time out here)."""
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.format_string("n%05d", F.col("id")).alias("key_a"),
+        F.format_string("n%05d", F.col("id") + 1).alias("key_b"),
+    )
+    got = connected_components(edges, driver_threshold=None, max_iter=30)
+    rows = got.collect()
+    assert len(rows) == n
+    assert {r["canon_id"] for r in rows} == {"n00000"}

@@ -180,10 +180,22 @@ def test_kbio_roundtrip(spark):
     assert rec.startswith("hello\nworld")
     assert "\n\n" in rec  # overlap-lossy join, like upload.js:187-190
 
+    # default: scalars only — the per-doc list is NOT collected
     summary = kb_summary(docs, chunks)
     assert summary["stats"]["filesProcessed"] == 1
     assert summary["stats"]["totalChunks"] == n_chunks
-    assert summary["documents"][0]["language"] == "Text"
+    assert "documents" not in summary
+
+    # test-scale opt-in inlines the list; out_dir writes it as a table
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        summary = kb_summary(docs, chunks, out_dir=td,
+                             collect_documents=True)
+        assert summary["documents"][0]["language"] == "Text"
+        assert summary["documents"][0]["chunks"] == n_chunks
+        tbl = spark.read.parquet(f"{td}/summary_documents")
+        assert tbl.count() == 1 and "path" in tbl.columns
 
     from src_to_kb_spark.operators.embed import embed_chunks
 
@@ -273,3 +285,85 @@ def test_embedding_neardup_bucketed_recall(spark):
     # OR-amplified 8×3-bit tables: 1-(1-p^3)^8 ≈ 0.9 at the 0.4-cos
     # boundary (p ≈ 1 - θ/π ≈ 0.63); floor set below the measured value
     assert recall >= 0.7, recall
+
+
+def test_external_search_fallback_semantics():
+    """search.js:82-128 routing: response-shape mapping, fallback on
+    remote failure, fail-fast on validation error, cached validation."""
+    from src_to_kb_spark.queries.external import KnowledgeBaseSearch
+
+    local_calls = []
+
+    def local(q):
+        local_calls.append(q)
+        return {"answer": f"local:{q}", "confidence": 0.5, "mode": "Developer"}
+
+    # 1) remote returns {response: ...} -> 0.9 / external
+    kb = KnowledgeBaseSearch(local, remote_search=lambda q: {"response": "R"})
+    got = kb.search("x")
+    assert got == {"answer": "R", "confidence": 0.9, "external": True,
+                   "mode": "Developer"}
+
+    # 2) other shape -> JSON.stringify(indent=2) / 0.8
+    kb = KnowledgeBaseSearch(local, remote_search=lambda q: {"hits": [1]})
+    got = kb.search("x")
+    assert got["confidence"] == 0.8 and got["answer"] == '{\n  "hits": [\n    1\n  ]\n}'
+
+    # 3) remote raises -> local fallback
+    def boom(q):
+        raise RuntimeError("down")
+
+    kb = KnowledgeBaseSearch(local, remote_search=boom)
+    assert kb.search("q1")["answer"] == "local:q1"
+
+    # 4) validation failure -> fail fast, NO fallback
+    def bad_auth():
+        raise PermissionError("401")
+
+    kb = KnowledgeBaseSearch(local, remote_search=lambda q: {"response": "R"},
+                             validate_remote=bad_auth)
+    with pytest.raises(PermissionError):
+        kb.search("q2")
+    assert "q2" not in local_calls
+
+    # 5) validation runs once across searches
+    n_val = []
+    kb = KnowledgeBaseSearch(local, remote_search=lambda q: {"response": "R"},
+                             validate_remote=lambda: n_val.append(1))
+    kb.search("a"); kb.search("b")
+    assert len(n_val) == 1
+
+    # 6) no remote configured -> plain local
+    kb = KnowledgeBaseSearch(local)
+    assert kb.search("z")["answer"] == "local:z"
+
+
+def test_similar_documents_mcp_divergence(spark):
+    """MCP variant (mcp-server.mjs:188-213): +2 same EXTENSION, no
+    language/type bonus — differs from the search.js variant which
+    gives +2 same language +1 same type."""
+    from src_to_kb_spark.operators.extract import extract_pages
+    from src_to_kb_spark.queries.search import (
+        similar_documents,
+        similar_documents_mcp,
+    )
+
+    rows = [
+        ("https://h/a/t.py", "t0", "python"),   # target
+        ("https://h/a/x.py", "t1", "js"),       # same ext, same dir
+        ("https://h/b/y.md", "t2", "python"),   # same lang only
+    ]
+    pages = spark.createDataFrame(
+        [(u, t.encode(), t, l) for u, t, l in rows],
+        "url string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    docs = extract_pages(pages)
+    mcp = {r["url"]: r["similarity"]
+           for r in similar_documents_mcp(docs, "https://h/a/t.py").collect()}
+    # x.py: +2 ext, parts common: https:,'',h,a -> 4*0.5 = 2 -> 4.0
+    assert mcp["https://h/a/x.py"] == 4.0
+    # y.md: no ext bonus, no lang bonus; common parts https:,'',h -> 1.5
+    assert mcp["https://h/b/y.md"] == 1.5
+    ref = {r["url"]: r["similarity"]
+           for r in similar_documents(docs, "https://h/a/t.py").collect()}
+    assert ref != mcp  # the two variants genuinely diverge

@@ -151,3 +151,15 @@ def test_embedding_neardup_registered_is_not_quadratic(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_search_chunks_kb_serves_from_parquet(spark):
+    """The registered committed-table search must be a pure parquet
+    scan + Catalyst expressions — no Arrow UDF re-run of the
+    extract+chunk pipeline per query (the 100 TB serving shape)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["search_chunks_kb"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan
+    assert "parquet" in plan.lower()
