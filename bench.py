@@ -45,6 +45,15 @@ def _run_once(spark, sf_dir: str) -> tuple[dict[str, float], int]:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    # untimed warm-up: session cold-start (Python worker spawn, JIT,
+    # codegen) is ~4-8 s and would otherwise all land on the first
+    # query's number; steady-state per-query cost is the signal
+    from src_to_kb_spark.operators.extract import extract_pages
+    from src_to_kb_spark.sources.pages import load_pages
+
+    extract_pages(load_pages(spark, sf_dir)).write.format("noop").mode(
+        "overwrite"
+    ).save()
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)

