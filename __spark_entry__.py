@@ -40,7 +40,9 @@ from src_to_kb_spark.operators.linking import link_mentions, oracle_linked_cte
 from src_to_kb_spark.operators.mentions import detect_mentions, oracle_mentions_cte
 from src_to_kb_spark.operators.similarity import (
     knn_brute_force,
+    knn_ivf,
     knn_lsh,
+    oracle_knn_ivf_sql,
     oracle_knn_lsh_sql,
 )
 from src_to_kb_spark.operators.textstats import oracle_text_stats_sql, text_stats
@@ -233,6 +235,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, n_bits=4,
         )
 
+    def q_knn_ivf(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        return knn_ivf(
+            emb.filter(F.col("vec_id") != 0), [float(x) for x in qv],
+            k=10, n_centroids=8, nprobe=2,
+        )
+
     def q_pipeline_triples(spark, sf):
         return run_pipeline(
             spark, load_pages(spark, sf), neardup_threshold=NEARDUP_THRESHOLD
@@ -308,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks": q_chunks,
         "search_chunks": q_search_chunks,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "pipeline_triples": q_pipeline_triples,
         "embeddings": q_embeddings,
         "embedding_neardup": q_embedding_neardup,
@@ -552,6 +563,7 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
     knn_lsh_sql = oracle_knn_lsh_sql(k=10, dim=64, n_bits=4)
+    knn_ivf_sql = oracle_knn_ivf_sql(k=10, dim=64, n_centroids=8, nprobe=2)
 
     return {
         "doc_ingest": doc_ingest,
@@ -563,6 +575,7 @@ SELECT DISTINCT subj, pred, obj FROM (
         "embedding_neardup": embedding_neardup,
         "simhash_pairs": simhash_pairs,
         "knn_lsh": knn_lsh_sql,
+        "knn_ivf": knn_ivf_sql,
         "chunks": chunks_sql,
         "reconstruct_content": reconstruct_content,
         "search_chunks": search_chunks_sql,

@@ -261,6 +261,140 @@ WHERE {cos} >= {threshold}
 """
 
 
+# --------------------------- IVF (coarse-quantizer ANN) --------------------
+
+def _centroid(dim: int, idx: int) -> list[float]:
+    """Deterministic pseudo-random coarse-quantizer centroid (md5
+    stream, distinct tag from the LSH hyperplane family)."""
+    vals: list[float] = []
+    counter = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"centroid:{idx}:{counter}".encode()).digest()
+        for i in range(0, 16, 2):
+            vals.append((int.from_bytes(h[i : i + 2], "big") / 32767.5) - 1.0)
+        counter += 1
+    return vals[:dim]
+
+
+def ivf_assign(vec_col: Column, dim: int, n_centroids: int = 8) -> Column:
+    """1-based id of the max-dot centroid — the IVF list a vector
+    belongs to.  On a partitioned table this is the partition column;
+    here it is an expression both engines evaluate identically
+    (identical centroid literals, identical first-max tie rule)."""
+    dots = F.array(
+        *[
+            _dot(vec_col, F.array(*[F.lit(v) for v in _centroid(dim, c)]))
+            for c in range(n_centroids)
+        ]
+    )
+    return F.array_position(dots, F.array_max(dots))
+
+
+def _query_probe_lists(
+    query_vec: list[float], dim: int, n_centroids: int, nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids (1-based) nearest to the query, by dot."""
+    scored = []
+    for c in range(n_centroids):
+        cv = _centroid(dim, c)
+        scored.append(
+            (-sum(float(x) * v for x, v in zip(query_vec, cv)), c + 1)
+        )
+    return [cid for _, cid in sorted(scored)[:nprobe]]
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: scan only the ``nprobe`` inverted lists
+    nearest to the query, exact cosine rerank inside.
+
+    The second ANN family next to :func:`knn_lsh` — IVF probes the
+    closest Voronoi cells (graceful recall/nprobe dial), LSH probes a
+    hash bucket.  At scale the assignment is a partition/cluster
+    column: probing = partition pruning, scanning ~nprobe/n_centroids
+    of the table."""
+    if dim is None:
+        dim = len(query_vec)
+    probes = _query_probe_lists(query_vec, dim, n_centroids, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = embeddings.withColumn(
+        "ivf_list", ivf_assign(F.col(vec_col), dim, n_centroids)
+    )
+    return (
+        assigned.filter(F.col("ivf_list").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def oracle_knn_ivf_sql(
+    k: int = 10,
+    dim: int = 64,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    emb_rel: str = "embeddings",
+    query_vec_id: int = 0,
+) -> str:
+    """DuckDB twin of :func:`knn_ivf` for a query vector taken from
+    the table: identical centroid literals, identical first-max
+    assignment (``list_position(l, list_max(l))`` ≡ Spark's
+    ``array_position(a, array_max(a))``), and the probe set derived in
+    SQL with the same (dot desc, id asc) rule
+    :func:`_query_probe_lists` uses."""
+
+    def lit(p: list[float]) -> str:
+        return "[" + ",".join(repr(v) for v in p) + "]::DOUBLE[]"
+
+    dots = ", ".join(
+        f"list_dot_product(v, {lit(_centroid(dim, c))})"
+        for c in range(n_centroids)
+    )
+    cent_rows = ", ".join(
+        f"({c + 1}, {lit(_centroid(dim, c))})" for c in range(n_centroids)
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM {emb_rel}
+  WHERE vec_id = {query_vec_id}
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM {emb_rel}
+  WHERE vec_id <> {query_vec_id}
+),
+assigned AS (
+  SELECT vec_id, v,
+         list_position([{dots}], list_max([{dots}])) AS ivf_list
+  FROM e
+),
+qprobe AS (
+  SELECT c.cid
+  FROM q CROSS JOIN (VALUES {cent_rows}) AS c(cid, cv)
+  ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cid
+  LIMIT {nprobe}
+)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             4) AS cos_sim
+FROM assigned, q
+WHERE ivf_list IN (SELECT cid FROM qprobe)
+ORDER BY cos_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
 def oracle_knn_lsh_sql(
     k: int = 10,
     dim: int = 64,

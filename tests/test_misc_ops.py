@@ -367,3 +367,34 @@ def test_similar_documents_mcp_divergence(spark):
     ref = {r["url"]: r["similarity"]
            for r in similar_documents(docs, "https://h/a/t.py").collect()}
     assert ref != mcp  # the two variants genuinely diverge
+
+
+def test_knn_ivf_recall_vs_brute_force(spark):
+    """IVF ANN: results are a subset of the probed cells' exact
+    rerank; recall vs brute-force top-10 measured and floored."""
+    from src_to_kb_spark.operators.similarity import (
+        ivf_assign,
+        knn_brute_force,
+        knn_ivf,
+    )
+
+    from .conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in knn_brute_force(rest, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              knn_ivf(rest, qv, k=10, n_centroids=8, nprobe=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, recall  # 2/8 cells probed; floor below measured
+    # full probe == exact
+    full = [r["vec_id"] for r in
+            knn_ivf(rest, qv, k=10, n_centroids=8, nprobe=8).collect()]
+    assert full == exact
+    # every vector lands in exactly one of the 8 lists
+    lists = rest.select(
+        ivf_assign(F.col("embedding"), 64, 8).alias("l")
+    ).distinct().collect()
+    assert {r["l"] for r in lists} <= set(range(1, 9))

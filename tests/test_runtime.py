@@ -69,3 +69,44 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     # idempotent restart: re-running with same checkpoint ingests nothing new
     run_ingest_once(spark, in_dir, out_dir, ck_dir)
     assert spark.read.parquet(f"{out_dir}/documents").count() == 50
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: each distinct content is
+    emitted once ACROSS micro-batch drains — the checkpointed state
+    store carries seen-checksums over a restart."""
+    from pyspark.sql import functions as F
+
+    from src_to_kb_spark.streaming.dedup import run_dedup_once
+
+    pages = synthetic_pages(spark, n=40)
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    pages.write.parquet(in_dir)
+
+    run_dedup_once(spark, in_dir, out_dir, ck_dir)
+    uniq = spark.read.parquet(f"{out_dir}/unique_documents")
+    n_distinct = extract_pages(pages).select("checksum").distinct().count()
+    assert uniq.count() == n_distinct
+    assert uniq.select("checksum").distinct().count() == n_distinct
+
+    # second drain: re-crawl of the SAME pages under new urls plus 10
+    # genuinely new pages -> only the new contents are emitted
+    recrawl = pages.withColumn(
+        "url", F.concat(F.lit("https://mirror.example.com/"), F.col("url"))
+    )
+    fresh = synthetic_pages(spark, n=50).where(
+        ~F.col("url").isin([r["url"] for r in pages.select("url").collect()])
+    )
+    recrawl.union(fresh).write.mode("append").parquet(in_dir)
+
+    run_dedup_once(spark, in_dir, out_dir, ck_dir)
+    uniq2 = spark.read.parquet(f"{out_dir}/unique_documents")
+    n_distinct_all = (
+        extract_pages(pages).select("checksum")
+        .union(extract_pages(fresh).select("checksum"))
+        .distinct().count()
+    )
+    assert uniq2.select("checksum").distinct().count() == n_distinct_all
+    assert uniq2.count() == n_distinct_all  # duplicates never re-emitted
