@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,25 +96,16 @@ def embedding_neardup_pairs(
         if dim is None:
             dim = len(embeddings.select(vec_col).first()[0])
 
+        bucket_udf = make_multitable_bucket_udf(dim, n_bits, n_tables)
+
         def with_tables(df, vcol):
+            # one numpy matmul per Arrow batch computes every table's
+            # bucket (see make_multitable_bucket_udf — the Catalyst-HOF
+            # per-plane fold evaluates interpreted and anti-scales)
             return df.select(
                 "*",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(t).alias("tbl"),
-                                lsh_bucket(
-                                    F.col(vcol), dim, n_bits,
-                                    plane_offset=t * n_bits,
-                                ).alias("bucket"),
-                            )
-                            for t in range(n_tables)
-                        ]
-                    )
-                ).alias("tb"),
-            ).select("*", F.col("tb.tbl").alias("tbl"),
-                     F.col("tb.bucket").alias("bucket")).drop("tb")
+                F.posexplode(bucket_udf(F.col(vcol))).alias("tbl", "bucket"),
+            )
 
         # OR-amplified multi-table LSH: a pair is a candidate if it
         # collides in ANY of the n_tables independent n_bits-plane
@@ -148,6 +140,66 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
             vals.append((int.from_bytes(h[i : i + 2], "big") / 32767.5) - 1.0)
         counter += 1
     return vals[:dim]
+
+
+def make_multitable_bucket_udf(dim: int, n_bits: int, n_tables: int):
+    """pandas UDF: embedding → array of per-table bucket ids — ALL
+    tables' hyperplane dots in ONE numpy matmul per Arrow batch.
+
+    This is the scale path for full-table bucketing: the Catalyst twin
+    (:func:`lsh_bucket`) builds ``n_tables × n_bits`` higher-order
+    ``aggregate``/``zip_with`` folds per row, which Catalyst evaluates
+    INTERPRETED — the r1-measured anti-pattern that gets slower with
+    more threads.  numpy float64 matmul computes the same dots (blocked
+    summation can differ from sequential by ~1 ulp; a sign flip needs a
+    dot within ~1e-16 of zero — measure-zero for real embeddings, and
+    the hof==udf equality is pinned on the testdata in pytest)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplane(dim, t * n_bits + b)
+            for t in range(n_tables)
+            for b in range(n_bits)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, n_tables*n_bits)
+    weights = np.tile(
+        np.array([1 << (n_bits - 1 - b) for b in range(n_bits)]), n_tables
+    ).reshape(n_tables, n_bits)
+
+    @pandas_udf("array<int>")
+    def buckets_udf(emb: pd.Series) -> pd.Series:
+        m = np.array(emb.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (m @ planes) >= 0  # (batch, n_tables*n_bits)
+        b = (
+            (bits.reshape(len(m), n_tables, n_bits) * weights)
+            .sum(axis=2)
+            .astype("int32")
+        )
+        return pd.Series(list(b))
+
+    return buckets_udf
+
+
+def make_ivf_assign_udf(dim: int, n_centroids: int = 8):
+    """pandas UDF twin of :func:`ivf_assign` (1-based first-max list id
+    via one numpy matmul per batch)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(
+        [_centroid(dim, c) for c in range(n_centroids)], dtype=np.float64
+    ).T
+
+    @pandas_udf("int")
+    def assign_udf(emb: pd.Series) -> pd.Series:
+        m = np.array(emb.tolist(), dtype=np.float64)
+        dots = m @ cents
+        return pd.Series((dots.argmax(axis=1) + 1).astype("int32"))
+
+    return assign_udf
 
 
 def lsh_bucket(
@@ -325,8 +377,9 @@ def knn_ivf(
         dim = len(query_vec)
     probes = _query_probe_lists(query_vec, dim, n_centroids, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assign_udf = make_ivf_assign_udf(dim, n_centroids)
     assigned = embeddings.withColumn(
-        "ivf_list", ivf_assign(F.col(vec_col), dim, n_centroids)
+        "ivf_list", assign_udf(F.col(vec_col))
     )
     return (
         assigned.filter(F.col("ivf_list").isin(probes))

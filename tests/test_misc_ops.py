@@ -398,3 +398,40 @@ def test_knn_ivf_recall_vs_brute_force(spark):
         ivf_assign(F.col("embedding"), 64, 8).alias("l")
     ).distinct().collect()
     assert {r["l"] for r in lists} <= set(range(1, 9))
+
+
+def test_numpy_bucket_udfs_match_catalyst_hof(spark):
+    """The numpy-matmul scale path and the Catalyst-HOF twins must
+    assign identical buckets / IVF lists on the testdata (blocked vs
+    sequential float64 summation — a divergence needs a dot within
+    ~1e-16 of zero)."""
+    from src_to_kb_spark.operators.similarity import (
+        ivf_assign,
+        lsh_bucket,
+        make_ivf_assign_udf,
+        make_multitable_bucket_udf,
+    )
+
+    from .conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n_bits, n_tables = 3, 8
+    udf = make_multitable_bucket_udf(64, n_bits, n_tables)
+    got = emb.select("vec_id", udf(F.col("embedding")).alias("b")).collect()
+    hof = emb.select(
+        "vec_id",
+        F.array(*[
+            lsh_bucket(F.col("embedding"), 64, n_bits, plane_offset=t * n_bits)
+            for t in range(n_tables)
+        ]).alias("b"),
+    ).collect()
+    assert {r["vec_id"]: list(r["b"]) for r in got} == \
+           {r["vec_id"]: list(r["b"]) for r in hof}
+
+    audf = make_ivf_assign_udf(64, 8)
+    ga = {r["vec_id"]: r["a"] for r in
+          emb.select("vec_id", audf(F.col("embedding")).alias("a")).collect()}
+    ha = {r["vec_id"]: r["a"] for r in
+          emb.select("vec_id",
+                     ivf_assign(F.col("embedding"), 64, 8).alias("a")).collect()}
+    assert ga == ha
