@@ -149,6 +149,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return similar_documents(docs, target_url, limit=25)
 
+    def q_streaming_dedup(spark, sf):
+        # the CUSTOM STATEFUL streaming operator (applyInPandasWithState)
+        # through the driver contract: drain the sf pages as a
+        # single-micro-batch availableNow stream through the
+        # checkpointed exact-dedup state store.  Single batch (one
+        # input file) makes the within-batch min-url winner the GLOBAL
+        # min per checksum — which is what the DuckDB twin computes;
+        # the cross-batch/restart semantics are pinned in pytest.
+        import hashlib
+        import os
+        import tempfile
+
+        from src_to_kb_spark.streaming.dedup import run_dedup_once
+
+        src = os.path.join(sf, "documents.parquet")
+        try:
+            tag = f"sdedup|{sf}|{os.path.getmtime(src)}"
+        except OSError:
+            tag = f"sdedup|{sf}"
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "src_to_kb_stage_cache",
+            hashlib.md5(tag.encode()).hexdigest()[:16],
+        )
+        out_dir = os.path.join(base, "out")
+        if not os.path.exists(
+            os.path.join(out_dir, "unique_documents", "_SUCCESS")
+        ):
+            os.makedirs(base, exist_ok=True)
+            in_dir = os.path.join(base, "in")
+            load_pages(spark, sf, keep_keys=False).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(in_dir)
+            run_dedup_once(
+                spark, in_dir, out_dir, os.path.join(base, "ck")
+            )
+        return spark.read.parquet(
+            os.path.join(out_dir, "unique_documents")
+        ).select("checksum", "url", "lang", "size")
+
     def q_similar_docs_mcp(spark, sf):
         docs = _docs(spark, sf)
         target_url = (
@@ -306,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_by_type": q_search_by_type,
         "similar_docs": q_similar_docs,
         "similar_docs_mcp": q_similar_docs_mcp,
+        "streaming_dedup": q_streaming_dedup,
         "search_chunks_kb": q_search_chunks_kb,
         "mentions": q_mentions,
         "entity_link": q_entity_link,
@@ -393,6 +434,17 @@ SELECT url, lang, type, similarity FROM (
 ) WHERE similarity > 0
 ORDER BY similarity DESC, url
 LIMIT 25
+"""
+
+    # streaming stateful dedup, single-batch drain: first-seen (min
+    # url) row per content checksum.  Cleaning is identity on the
+    # driver corpus (same assumption every oracle here makes); the
+    # extract stage's size is the raw html byte length.
+    streaming_dedup = f"""{pages}
+SELECT sha256(text) AS checksum, min(url) AS url,
+       arg_min(lang, url) AS lang,
+       arg_min(octet_length(encode(text)), url)::BIGINT AS size
+FROM pages GROUP BY 1
 """
 
     ext_p = oracle_ext_sql("p.url")
@@ -568,6 +620,7 @@ SELECT DISTINCT subj, pred, obj FROM (
     return {
         "doc_ingest": doc_ingest,
         "similar_docs_mcp": similar_docs_mcp,
+        "streaming_dedup": streaming_dedup,
         # same rows as search_chunks: the committed chunks table holds
         # exactly the chunker's output, so the chunker-CTE twin covers
         # the serving-shape query too
