@@ -76,15 +76,32 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(load_pages(spark, sf_dir))
 
 
+def _stage_cache_dir(sf_dir: str, kind: str) -> str:
+    """Shared tmp cache location keyed on (kind, sf_dir, input mtime) —
+    stale iff the driver regenerates the testdata."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        tag = f"{kind}|{sf_dir}|{os.path.getmtime(src)}"
+    except OSError:
+        tag = f"{kind}|{sf_dir}"
+    return os.path.join(
+        tempfile.gettempdir(),
+        "src_to_kb_stage_cache",
+        hashlib.md5(tag.encode()).hexdigest()[:16],
+    )
+
+
 def _committed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The chunks STAGE TABLE for ``sf_dir`` — computed once, committed
     to a cache dir keyed on (sf_dir, input mtime), then served from the
     parquet scan.  This is the real serving shape at 100 TB: search
     queries hit the committed table, not an extract+chunk recompute
     per invocation."""
-    import hashlib
     import os
-    import tempfile
 
     from src_to_kb_spark.runtime.checkpoint import (
         is_committed,
@@ -92,16 +109,7 @@ def _committed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_stage,
     )
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        tag = f"{sf_dir}|{os.path.getmtime(src)}"
-    except OSError:
-        tag = sf_dir
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "src_to_kb_stage_cache",
-        hashlib.md5(tag.encode()).hexdigest()[:16],
-    )
+    base = _stage_cache_dir(sf_dir, "chunks")
     if not is_committed(base, "chunks"):
         os.makedirs(base, exist_ok=True)
         write_stage(chunk_documents(_docs(spark, sf_dir)), base, "chunks")
@@ -157,26 +165,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # input file) makes the within-batch min-url winner the GLOBAL
         # min per checksum — which is what the DuckDB twin computes;
         # the cross-batch/restart semantics are pinned in pytest.
-        import hashlib
         import os
-        import tempfile
 
         from src_to_kb_spark.streaming.dedup import run_dedup_once
 
-        src = os.path.join(sf, "documents.parquet")
-        try:
-            tag = f"sdedup|{sf}|{os.path.getmtime(src)}"
-        except OSError:
-            tag = f"sdedup|{sf}"
-        base = os.path.join(
-            tempfile.gettempdir(),
-            "src_to_kb_stage_cache",
-            hashlib.md5(tag.encode()).hexdigest()[:16],
-        )
+        base = _stage_cache_dir(sf, "sdedup")
         out_dir = os.path.join(base, "out")
-        if not os.path.exists(
-            os.path.join(out_dir, "unique_documents", "_SUCCESS")
-        ):
+        # own marker written AFTER the drain — a FileStreamSink writes
+        # _spark_metadata, never _SUCCESS, so that is not a valid guard
+        done_marker = os.path.join(base, "_drained")
+        if not os.path.exists(done_marker):
             os.makedirs(base, exist_ok=True)
             in_dir = os.path.join(base, "in")
             load_pages(spark, sf, keep_keys=False).coalesce(1).write.mode(
@@ -185,6 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run_dedup_once(
                 spark, in_dir, out_dir, os.path.join(base, "ck")
             )
+            with open(done_marker, "w") as f:
+                f.write("1")
         return spark.read.parquet(
             os.path.join(out_dir, "unique_documents")
         ).select("checksum", "url", "lang", "size")

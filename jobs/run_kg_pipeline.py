@@ -83,6 +83,27 @@ def main(argv: list[str] | None = None) -> dict:
     # the full edge table).
     pages = load_pages(spark, args.input).dropDuplicates(["url"])
 
+    DOWNSTREAM = ("chunks", "linked", "neardup_pairs", "components",
+                  "triples")
+    pending_marker = os.path.join(args.output, "_delta_pending")
+
+    def invalidate(stages):
+        for st in stages:
+            marker = os.path.join(args.output, f"_committed_{st}")
+            if os.path.exists(marker):
+                os.remove(marker)
+
+    # Crash recovery: a `_delta_pending` marker means a previous run
+    # died between appending a documents delta and reconciling the
+    # downstream stages — some of their `_committed` markers may be
+    # stale (missing the delta's rows) with no way to tell which.
+    # Invalidate them ALL; they rebuild from the (complete) documents
+    # table.  The marker is removed only after every downstream stage
+    # has been reconciled, so the window is correct at any crash point.
+    if os.path.exists(pending_marker):
+        invalidate(DOWNSTREAM)
+        os.remove(pending_marker)
+
     # -- stage: documents (resume unit = url) ------------------------------
     docs_delta = None  # extracted rows appended this run, if resuming
     if is_committed(args.output, "documents"):
@@ -93,6 +114,10 @@ def main(argv: list[str] | None = None) -> dict:
                     delta, n_partitions=spark.sparkContext.defaultParallelism
                 )
             ).localCheckpoint()
+            # pending marker BEFORE the append: from here until all
+            # downstream stages reconcile, a crash must invalidate them
+            with open(pending_marker, "w") as f:
+                f.write("reconciling documents delta")
             write_stage(docs_new, args.output, "documents", mode="append")
             docs_delta = docs_new
     else:
@@ -112,10 +137,7 @@ def main(argv: list[str] | None = None) -> dict:
     # cross-document structure, so their committed markers are dropped
     # and they recompute over the full documents table.
     if docs_delta is not None:
-        for st in ("neardup_pairs", "components", "triples"):
-            marker = os.path.join(args.output, f"_committed_{st}")
-            if os.path.exists(marker):
-                os.remove(marker)
+        invalidate(("neardup_pairs", "components", "triples"))
 
     # -- downstream stages (each committed-or-computed) --------------------
     gaz = gazetteer_df(spark)
@@ -182,6 +204,9 @@ def main(argv: list[str] | None = None) -> dict:
         ),
         partition_by=["pred"],
     )
+    # every downstream stage is now consistent with the appended delta
+    if os.path.exists(pending_marker):
+        os.remove(pending_marker)
 
     summary = {
         "documents": documents.count(),

@@ -419,7 +419,9 @@ def simhash_neardup_pairs(
                     F.struct(
                         F.lit(i).alias("blk"),
                         F.shiftrightunsigned(F.col("simhash"), off)
-                        .bitwiseAND(F.lit((1 << w) - 1))
+                        # w=64 (max_hamming=0): 2^64-1 overflows LongType;
+                        # signed -1 is the same all-ones bit pattern
+                        .bitwiseAND(F.lit((1 << w) - 1 if w < 64 else -1))
                         .alias("val"),
                     )
                     for i, (off, w) in enumerate(blocks_spec)

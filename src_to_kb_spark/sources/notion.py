@@ -241,7 +241,18 @@ def fetch_by_url(
         response = retrieve_database(formatted)
     except NotionAPIError as e:
         if e.code == "object_not_found":
-            return [fetch_page(formatted)]
+            # page path: apply the page-flavored error mapping
+            # (notion-source.js:108-127) around the injected fetcher
+            try:
+                return [fetch_page(formatted)]
+            except NotionAPIError as pe:
+                if pe.code in _PAGE_ERRORS:
+                    raise NotionAPIError(
+                        pe.code, _PAGE_ERRORS[pe.code]
+                    ) from pe
+                raise NotionAPIError(
+                    pe.code, f"Notion API error: {pe}"
+                ) from pe
         if e.code in _DB_ERRORS:
             raise NotionAPIError(e.code, _DB_ERRORS[e.code]) from e
         raise NotionAPIError(

@@ -59,7 +59,8 @@ def _dedup_fn(
 
 def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
     """documents stream → first-seen row per content checksum, exactly
-    once across all micro-batches (update output mode)."""
+    once across all micro-batches (append output mode: emitted rows are
+    final, never retracted — file-sink compatible)."""
     return (
         docs.select("checksum", "url", "lang", "size")
         .groupBy("checksum")

@@ -84,3 +84,38 @@ def test_job_dedupes_input_urls(spark, tmp_path):
     s_ref = main(["--input", inp2, "--output", out_ref])
     assert s["triples"] == s_ref["triples"]
     assert _triple_set(spark, out) == _triple_set(spark, out_ref)
+
+
+def test_job_recovers_from_mid_reconcile_crash(spark, tmp_path):
+    """A run that dies between appending a documents delta and
+    reconciling downstream stages leaves `_delta_pending`; the next
+    run must invalidate ALL downstream markers (their tables are
+    silently stale) and rebuild a correct KB."""
+    src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    inp = str(tmp_path / "in")
+    src.filter("doc_id < 300").write.parquet(f"{inp}/documents.parquet")
+    out = str(tmp_path / "kb")
+    main(["--input", inp, "--output", out])
+
+    # simulate the crashed run: delta rows appended to documents,
+    # pending marker present, downstream markers still the old ones
+    from src_to_kb_spark.operators.extract import extract_pages
+    from src_to_kb_spark.runtime.checkpoint import write_stage
+    from src_to_kb_spark.sources.pages import documents_to_pages
+
+    delta_docs = extract_pages(
+        documents_to_pages(src.filter("doc_id >= 300"))
+    )
+    write_stage(delta_docs, out, "documents", mode="append")
+    with open(os.path.join(out, "_delta_pending"), "w") as f:
+        f.write("crashed mid-reconcile")
+
+    src.write.parquet(f"{(inp2 := str(tmp_path / 'in_full'))}/documents.parquet")
+    s2 = main(["--input", inp2, "--output", out])
+    assert not os.path.exists(os.path.join(out, "_delta_pending"))
+
+    out_ref = str(tmp_path / "kb_ref")
+    s3 = main(["--input", inp2, "--output", out_ref])
+    assert s2["documents"] == 500 == s3["documents"]
+    assert s2["triples"] == s3["triples"]
+    assert _triple_set(spark, out) == _triple_set(spark, out_ref)

@@ -435,3 +435,16 @@ def test_numpy_bucket_udfs_match_catalyst_hof(spark):
           emb.select("vec_id",
                      ivf_assign(F.col("embedding"), 64, 8).alias("a")).collect()}
     assert ga == ha
+
+
+def test_simhash_max_hamming_zero(spark):
+    """max_hamming=0 = exact-signature blocking: one 64-bit block whose
+    all-ones mask must not overflow LongType (regression)."""
+    df = spark.createDataFrame(
+        [("u1", "alpha beta gamma"), ("u2", "alpha beta gamma"),
+         ("u3", "totally different words here")],
+        "url string, text string",
+    )
+    pairs = {(r["key_a"], r["key_b"], r["hamming"])
+             for r in simhash_neardup_pairs(df, max_hamming=0).collect()}
+    assert pairs == {("u1", "u2", 0)}

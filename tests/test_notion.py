@@ -178,3 +178,25 @@ def test_notion_rows_enter_extract_stage(spark):
     assert "nested body" in row["text"] and row["text"].startswith("# H")
     exp = blocks_to_text(flatten_block_tree(tree))
     assert row["text"] == exp
+
+
+def test_fetch_by_url_page_path_error_mapping():
+    """The page-path fallback maps Notion error codes to the
+    reference's friendly page-flavored messages (fetchPage,
+    notion-source.js:108-127)."""
+    url = "https://notion.so/X-0123456789abcdef0123456789abcdef"
+
+    def nf(i):
+        raise NotionAPIError("object_not_found")
+
+    def page_denied(i):
+        raise NotionAPIError("restricted_resource")
+
+    with pytest.raises(
+        NotionAPIError,
+        match="Access denied. Make sure the page is shared",
+    ):
+        fetch_by_url(
+            url, retrieve_database=nf,
+            fetch_database=lambda i: [], fetch_page=page_denied,
+        )
