@@ -21,7 +21,43 @@ from pyspark.sql import functions as F
 
 
 def link_mentions(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
-    """→ linked(key, norm, n_mentions, entity_id, canonical_name, prior, score)."""
+    """→ linked(key, norm, n_mentions, entity_id, canonical_name, prior, score).
+
+    ZERO-SHUFFLE formulation: the score factorizes as
+    ``g(candidate) × f(mention)`` (prior × n_mentions) with
+    f(mention) > 0, so the argmax over a (key, norm) group's candidates
+    does not depend on the mention at all — the winner is simply the
+    max-prior (tie: min entity_id) entity PER NORM.  That reduction
+    runs over the dictionary-sized gazetteer (driver-trivial window),
+    and linking becomes one broadcast join: map-only, no candidate
+    shuffle, no window over the corpus.  The corpus-side window
+    variant (:func:`link_mentions_windowed`) is kept as the semantics
+    twin for scoring functions that do NOT factorize; a pytest pins
+    both variants equal."""
+    w = Window.partitionBy("norm").orderBy(
+        F.desc("prior"), F.asc("entity_id")
+    )
+    best = (
+        gazetteer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("norm", "entity_id", "canonical_name", "prior")
+    )
+    return (
+        mentions.join(F.broadcast(best), "norm")
+        .withColumn("score", F.col("prior") * F.col("n_mentions"))
+        .select(
+            "key", "norm", "n_mentions", "entity_id",
+            "canonical_name", "prior", "score",
+        )
+    )
+
+
+def link_mentions_windowed(
+    mentions: DataFrame, gazetteer: DataFrame
+) -> DataFrame:
+    """General-scoring twin: top-1 per (document, alias) via a window
+    over the joined candidate set — needed only when the score does
+    not factorize into mention × candidate terms."""
     cand = mentions.join(F.broadcast(gazetteer), "norm").withColumn(
         "score", F.col("prior") * F.col("n_mentions")
     )

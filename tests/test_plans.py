@@ -163,3 +163,28 @@ def test_search_chunks_kb_serves_from_parquet(spark):
     plan = _plan(df)
     assert "ArrowEvalPython" not in plan
     assert "parquet" in plan.lower()
+
+
+def test_linking_is_shuffle_free(spark):
+    """score = prior x n_mentions factorizes, so linking pre-reduces
+    the gazetteer and the corpus side must see NO exchange at all."""
+    docs = extract_pages(load_pages(spark, SF_SMOKE))
+    gaz = gazetteer_df(spark)
+    linked = link_mentions(detect_mentions(docs, gaz), gaz)
+    plan = _plan(linked)
+    # the only window/exchange allowed is on the dictionary-sized
+    # gazetteer side INSIDE the broadcast build — the corpus-side plan
+    # after the ArrowEvalPython mention pass must be exchange-free
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side.replace("BroadcastExchange", "")
+
+
+def test_linking_variants_agree(spark):
+    from src_to_kb_spark.operators.linking import link_mentions_windowed
+
+    docs = extract_pages(load_pages(spark, SF_SMOKE))
+    gaz = gazetteer_df(spark)
+    m = detect_mentions(docs, gaz)
+    a = {tuple(r) for r in link_mentions(m, gaz).collect()}
+    b = {tuple(r) for r in link_mentions_windowed(m, gaz).collect()}
+    assert a == b and len(a) > 0
