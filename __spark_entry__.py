@@ -18,9 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from src_to_kb_spark.functions.classify import (
+    DEFAULT_EXCLUDES,
+    ext_col,
+    is_supported,
     oracle_ext_sql,
     oracle_lang_sql,
+    oracle_supported_sql,
     oracle_type_sql,
+    should_exclude,
 )
 from src_to_kb_spark.operators.canonicalize import (
     connected_components,
@@ -135,6 +140,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _docs(spark, sf).select(
             "url", "lang", "ext", "language_ext", "type", "size",
             "checksum", "lines",
+        )
+
+    def q_ingest_gate(spark, sf):
+        # S2 (exclusion predicate) + S3 (extension allowlist) + S4
+        # (size gate) as one oracle-checked projection.  The driver
+        # corpus's urls never hit the exclude/unsupported branches, so
+        # the path column is derived to exercise all of them
+        # deterministically (same derivation in the SQL twin).
+        pages = load_pages(spark, sf)
+        did = F.col("doc_id").cast("string")
+        path = (
+            F.when(
+                (F.col("doc_id") % 7) == 0,
+                F.concat(
+                    F.lit("https://ex.com/node_modules/p"), did,
+                    F.lit(".js"),
+                ),
+            )
+            .when(
+                (F.col("doc_id") % 5) == 0,
+                F.concat(
+                    F.lit("https://ex.com/src/p"), did, F.lit(".xyz")
+                ),
+            )
+            .otherwise(F.col("url"))
+        )
+        return pages.select(
+            F.col("doc_id"),
+            path.alias("path"),
+            is_supported(ext_col(path)).alias("supported"),
+            should_exclude(path).alias("excluded"),
+            (F.length("html") <= 10 * 1024 * 1024).alias(
+                "within_size_gate"
+            ),
         )
 
     def q_lang_distribution(spark, sf):
@@ -340,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "doc_ingest": q_doc_ingest,
+        "ingest_gate": q_ingest_gate,
         "lang_distribution": q_lang_distribution,
         "kb_stats": q_kb_stats,
         "search_docs": q_search_docs,
@@ -389,6 +429,27 @@ FROM pages
     lang_dist = f"""{pages}
 SELECT lang, count(*) AS n_docs FROM pages GROUP BY lang
 ORDER BY n_docs DESC, lang
+"""
+
+    excl_sql = " OR ".join(
+        f"contains(path, '{e}')" for e in DEFAULT_EXCLUDES
+    )
+    ingest_gate = f"""{pages}
+, gate AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'https://ex.com/node_modules/p' || doc_id || '.js'
+              WHEN doc_id % 5 = 0
+              THEN 'https://ex.com/src/p' || doc_id || '.xyz'
+              ELSE url END AS path,
+         octet_length(encode(text)) AS nbytes
+  FROM pages
+)
+SELECT doc_id, path,
+       {oracle_supported_sql(oracle_ext_sql('path'))} AS supported,
+       ({excl_sql}) AS excluded,
+       (nbytes <= 10485760) AS within_size_gate
+FROM gate
 """
 
     kb_stats = f"""{pages}
@@ -619,6 +680,7 @@ SELECT DISTINCT subj, pred, obj FROM (
 
     return {
         "doc_ingest": doc_ingest,
+        "ingest_gate": ingest_gate,
         "similar_docs_mcp": similar_docs_mcp,
         "streaming_dedup": streaming_dedup,
         # same rows as search_chunks: the committed chunks table holds
