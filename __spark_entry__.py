@@ -81,18 +81,49 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(load_pages(spark, sf_dir))
 
 
+def _input_fingerprint(path: str) -> str:
+    """Cheap CONTENT fingerprint of a parquet input: file size + md5 of
+    the first and last 64 KiB of each part file.  An mtime key would
+    serve a stale cache after a same-mtime regeneration (sub-second
+    copy); content bytes cannot lie.  Reads ≤128 KiB per file — O(1)
+    regardless of table size."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    try:
+        parts = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        for p in parts:
+            size = os.path.getsize(p)
+            h.update(f"{os.path.basename(p)}|{size}|".encode())
+            with open(p, "rb") as f:
+                h.update(f.read(65536))
+                if size > 65536:
+                    f.seek(max(size - 65536, 0))
+                    h.update(f.read(65536))
+    except OSError:
+        return "missing"
+    return h.hexdigest()
+
+
 def _stage_cache_dir(sf_dir: str, kind: str) -> str:
-    """Shared tmp cache location keyed on (kind, sf_dir, input mtime) —
-    stale iff the driver regenerates the testdata."""
+    """Shared tmp cache location keyed on (kind, sf_dir, input CONTENT
+    fingerprint) — stale iff the driver regenerates the testdata, even
+    when regeneration preserves the mtime."""
     import hashlib
     import os
     import tempfile
 
     src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        tag = f"{kind}|{sf_dir}|{os.path.getmtime(src)}"
-    except OSError:
-        tag = f"{kind}|{sf_dir}"
+    tag = f"{kind}|{sf_dir}|{_input_fingerprint(src)}"
     return os.path.join(
         tempfile.gettempdir(),
         "src_to_kb_stage_cache",

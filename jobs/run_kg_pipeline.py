@@ -42,6 +42,7 @@ def main(argv: list[str] | None = None) -> dict:
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from src_to_kb_spark.operators.canonicalize import connected_components
     from src_to_kb_spark.operators.chunker import chunk_documents
@@ -80,8 +81,30 @@ def main(argv: list[str] | None = None) -> dict:
     # triples.py build_triples docstring) — a crawl revisiting a page
     # would otherwise emit duplicate triples.  Enforce it once at
     # ingest (doc-granular shuffle, far cheaper than a distinct over
-    # the full edge table).
-    pages = load_pages(spark, args.input).dropDuplicates(["url"])
+    # the full edge table).  The survivor is picked DETERMINISTICALLY
+    # — latest warc_ts, content-checksum tiebreak — via max_by (one
+    # shuffle WITH map-side partial aggregation; a row_number window
+    # would sort whole url-partitions for the same answer).  A bare
+    # dropDuplicates keeps an arbitrary row, making KB output
+    # nondeterministic across runs when a url recurs with different
+    # content.
+    raw_pages = load_pages(spark, args.input)
+    page_cols = raw_pages.columns
+    pages = (
+        raw_pages.groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in page_cols if c != "url"]),
+                F.struct(
+                    F.col("warc_ts"),
+                    F.sha2(F.col("html"), 256),
+                    F.sha2(F.col("text"), 256),
+                ),
+            ).alias("_p")
+        )
+        .select("url", "_p.*")
+        .select(*page_cols)
+    )
 
     DOWNSTREAM = ("chunks", "linked", "neardup_pairs", "components",
                   "triples")

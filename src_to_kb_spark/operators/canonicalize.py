@@ -120,7 +120,13 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def _alternating_star(sym: DataFrame, max_iter: int) -> DataFrame:
     """Alternate large-star / small-star until fixpoint → star forest
-    (u, v=component min) for every non-root u.  O(log n) rounds."""
+    (u, v=component min) for every non-root u.  O(log n) rounds.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the fixpoint: a non-converged edge set would silently
+    yield WRONG canon_id labels, and with O(log n) convergence the
+    default budget (50 rounds ≳ 2^50 nodes) only exhausts on a bug or
+    a pathological input — fail loudly, never mislabel."""
     e = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
     prev_cnt = -1
     prev: DataFrame | None = None
@@ -135,10 +141,12 @@ def _alternating_star(sym: DataFrame, max_iter: int) -> DataFrame:
             # counts stable → verify exact fixpoint (cheap: both sides
             # checkpointed; exceptAll on the small current edge set)
             if new.exceptAll(prev).limit(1).count() == 0:
-                e = new
-                break
+                return new
         prev, prev_cnt, e = new, cnt, new
-    return e
+    raise RuntimeError(
+        f"connected_components: alternating-star did not converge in "
+        f"{max_iter} rounds — labels would be wrong; raise max_iter"
+    )
 
 
 def _components_driver(

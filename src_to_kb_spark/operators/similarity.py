@@ -171,7 +171,9 @@ def make_multitable_bucket_udf(dim: int, n_bits: int, n_tables: int):
 
     @pandas_udf("array<int>")
     def buckets_udf(emb: pd.Series) -> pd.Series:
-        m = np.array(emb.tolist(), dtype=np.float64)  # (batch, dim)
+        # reshape(-1, dim): an empty Arrow batch gives shape (0,) from
+        # tolist(), which would fail the matmul; (0, dim) matmuls to (0, n)
+        m = np.asarray(emb.tolist(), dtype=np.float64).reshape(-1, dim)
         bits = (m @ planes) >= 0  # (batch, n_tables*n_bits)
         b = (
             (bits.reshape(len(m), n_tables, n_bits) * weights)
@@ -195,7 +197,8 @@ def make_ivf_assign_udf(dim: int, n_centroids: int = 8):
 
     @pandas_udf("int")
     def assign_udf(emb: pd.Series) -> pd.Series:
-        m = np.array(emb.tolist(), dtype=np.float64)
+        # reshape(-1, dim) keeps empty batches matmul-able (see buckets_udf)
+        m = np.asarray(emb.tolist(), dtype=np.float64).reshape(-1, dim)
         dots = m @ cents
         return pd.Series((dots.argmax(axis=1) + 1).astype("int32"))
 

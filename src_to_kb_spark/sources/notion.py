@@ -60,6 +60,20 @@ def extract_rich_text(rich) -> str:
     )
 
 
+def _js_truthy(v) -> bool:
+    """JS truthiness for JSON values: null/false/0/NaN/'' are falsy;
+    arrays and objects are truthy EVEN WHEN EMPTY (unlike Python)."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0 and v == v  # 0 and NaN are falsy
+    if isinstance(v, str):
+        return v != ""
+    return True
+
+
 def blocks_to_text(blocks: list[dict]) -> str:
     """notion-source.js:234-322 — the 24-way block→markdown switch,
     byte-identical (incl. the always-'1.' numbered-list quirk and the
@@ -70,11 +84,14 @@ def blocks_to_text(blocks: list[dict]) -> str:
         data = block.get(btype) if btype else None
         if not isinstance(data, dict):
             continue
-        if "rich_text" in data:
+        # notion-source.js:245-250 picks the content source by JS
+        # TRUTHINESS (a present-but-null rich_text falls through to
+        # caption/title), not key presence — mirror that exactly.
+        if _js_truthy(data.get("rich_text")):
             content = extract_rich_text(data.get("rich_text"))
-        elif "caption" in data:
+        elif _js_truthy(data.get("caption")):
             content = extract_rich_text(data.get("caption"))
-        elif "title" in data:
+        elif _js_truthy(data.get("title")):
             content = extract_rich_text(data.get("title"))
         else:
             content = ""

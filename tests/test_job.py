@@ -86,6 +86,49 @@ def test_job_dedupes_input_urls(spark, tmp_path):
     assert _triple_set(spark, out) == _triple_set(spark, out_ref)
 
 
+def test_job_duplicate_url_survivor_is_deterministic(spark, tmp_path):
+    """ADVICE r2: duplicate urls carrying DIFFERENT content must yield
+    the same KB across runs — survivor = max(warc_ts) with checksum
+    tiebreak, not an arbitrary dropDuplicates row."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        "doc_id < 40"
+    )
+    # same doc_id (→ same url AND same derived warc_ts) with different
+    # text: only the deterministic checksum tiebreak disambiguates
+    twin = src.filter("doc_id < 5").withColumn(
+        "text", F.concat(F.lit("ALTERED "), F.col("text"))
+    )
+    inp = str(tmp_path / "in_det")
+    src.union(twin).write.parquet(f"{inp}/documents.parquet")
+
+    picked = []
+    for run in ("a", "b"):
+        out = str(tmp_path / f"kb_{run}")
+        s = main(["--input", inp, "--output", out])
+        assert s["documents"] == 40
+        rows = (
+            spark.read.parquet(os.path.join(out, "documents"))
+            .select("url", "checksum").orderBy("url").collect()
+        )
+        picked.append([(r["url"], r["checksum"]) for r in rows])
+    assert picked[0] == picked[1]
+    # the survivor is the max-checksum candidate per url (the documented
+    # warc_ts-then-checksum rule; warc_ts ties here by construction),
+    # not whichever row happened to arrive first
+    from src_to_kb_spark.sources.pages import documents_to_pages
+
+    expected = {
+        r["url"]: r["want"]
+        for r in documents_to_pages(src.union(twin))
+        .groupBy("url")
+        .agg(F.max(F.sha2("text", 256)).alias("want"))
+        .collect()
+    }
+    assert dict(picked[0]) == expected
+
+
 def test_job_recovers_from_mid_reconcile_crash(spark, tmp_path):
     """A run that dies between appending a documents delta and
     reconciling downstream stages leaves `_delta_pending`; the next
