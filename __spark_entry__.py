@@ -44,9 +44,12 @@ from src_to_kb_spark.operators.extract import extract_pages
 from src_to_kb_spark.operators.linking import link_mentions, oracle_linked_cte
 from src_to_kb_spark.operators.mentions import detect_mentions, oracle_mentions_cte
 from src_to_kb_spark.operators.similarity import (
+    build_ann_table,
     knn_brute_force,
     knn_ivf,
+    knn_ivf_kb,
     knn_lsh,
+    knn_lsh_kb,
     oracle_knn_ivf_sql,
     oracle_knn_lsh_sql,
 )
@@ -150,6 +153,35 @@ def _committed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(base, exist_ok=True)
         write_stage(chunk_documents(_docs(spark, sf_dir)), base, "chunks")
     return read_stage(spark, base, "chunks")
+
+
+def _committed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN serving STAGE TABLE: embeddings augmented with
+    ``lsh_bucket`` and ``ivf_list`` at BUILD time, committed partitioned
+    by both, so every knn probe is a partition-pruned scan (r2 verdict
+    #1 — the `search_chunks_kb` move applied to vectors).  Nested
+    hive partitioning (lsh_bucket=<b>/ivf_list=<l>/) serves both
+    families from ONE copy of the vectors: an lsh probe prunes at the
+    first directory level, an ivf probe at the second."""
+    import os
+
+    from src_to_kb_spark.runtime.checkpoint import (
+        is_committed,
+        read_stage,
+        write_stage,
+    )
+
+    base = _stage_cache_dir(sf_dir, "ann")
+    if not is_committed(base, "ann"):
+        os.makedirs(base, exist_ok=True)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        write_stage(
+            build_ann_table(emb, dim=64, n_bits=4, n_centroids=8),
+            base,
+            "ann",
+            partition_by=["lsh_bucket", "ivf_list"],
+        )
+    return read_stage(spark, base, "ann")
 
 
 # --------------------------------------------------------------------------
@@ -353,6 +385,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, n_centroids=8, nprobe=2,
         )
 
+    def q_knn_lsh_kb(spark, sf):
+        # serving shape: committed (lsh_bucket, ivf_list)-partitioned
+        # ANN table -> driver-side query bucket -> partition-pruned
+        # scan + exact rerank.  No UDF, no full-table assignment at
+        # query time (plan-tested).
+        ann = _committed_ann(spark, sf)
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        return knn_lsh_kb(
+            ann.filter(F.col("vec_id") != 0), [float(x) for x in qv],
+            k=10, dim=64, n_bits=4,
+        )
+
+    def q_knn_ivf_kb(spark, sf):
+        ann = _committed_ann(spark, sf)
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        return knn_ivf_kb(
+            ann.filter(F.col("vec_id") != 0), [float(x) for x in qv],
+            k=10, dim=64, n_centroids=8, nprobe=2,
+        )
+
     def q_pipeline_triples(spark, sf):
         return run_pipeline(
             spark, load_pages(spark, sf), neardup_threshold=NEARDUP_THRESHOLD
@@ -431,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_chunks": q_search_chunks,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_lsh_kb": q_knn_lsh_kb,
+        "knn_ivf_kb": q_knn_ivf_kb,
         "pipeline_triples": q_pipeline_triples,
         "embeddings": q_embeddings,
         "embedding_neardup": q_embedding_neardup,
@@ -722,6 +778,12 @@ SELECT DISTINCT subj, pred, obj FROM (
         "simhash_pairs": simhash_pairs,
         "knn_lsh": knn_lsh_sql,
         "knn_ivf": knn_ivf_sql,
+        # the committed-table probes return EXACTLY the inline variants'
+        # rows (same planes/centroids, same probe rule) — the difference
+        # is purely physical (partition-pruned scan vs per-query
+        # assignment), so they share the oracle twins
+        "knn_lsh_kb": knn_lsh_sql,
+        "knn_ivf_kb": knn_ivf_sql,
         "chunks": chunks_sql,
         "reconstruct_content": reconstruct_content,
         "search_chunks": search_chunks_sql,

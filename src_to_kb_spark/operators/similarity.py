@@ -220,6 +220,19 @@ def lsh_bucket(
     return bucket
 
 
+def query_lsh_bucket(query_vec: list[float], dim: int, n_bits: int) -> int:
+    """The query vector's SimHash bucket, computed DRIVER-side (a few
+    float dots over a dictionary-sized plane set) — the serving-path
+    twin of :func:`lsh_bucket` with identical plane literals and
+    MSB-first bit order."""
+    qb = 0
+    for b in range(n_bits):
+        plane = _hyperplane(dim, b)
+        dot = sum(float(x) * p for x, p in zip(query_vec, plane))
+        qb = qb * 2 + (1 if dot >= 0 else 0)
+    return qb
+
+
 def knn_lsh(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -229,25 +242,109 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's SimHash bucket.
-
-    On a partitioned table the bucket is a partition-pruned scan; here
-    it is a pushed-down filter.  Recall measured in tests vs brute
-    force.
+    """Approximate top-k: probe only the query's SimHash bucket,
+    computing bucket assignments INLINE — the ad-hoc / first-query
+    shape.  For repeated serving use :func:`build_ann_table` +
+    :func:`knn_lsh_kb`, where the assignment is a committed partition
+    column and the probe is a partition-pruned scan.  Recall measured
+    in tests vs brute force.
     """
     if dim is None:
         dim = len(query_vec)
-    qb = 0
-    for b in range(n_bits):
-        plane = _hyperplane(dim, b)
-        dot = sum(float(x) * p for x, p in zip(query_vec, plane))
-        qb = qb * 2 + (1 if dot >= 0 else 0)
+    qb = query_lsh_bucket(query_vec, dim, n_bits)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     bucketed = embeddings.withColumn(
         "bucket", lsh_bucket(F.col(vec_col), dim, n_bits)
     )
     return (
         bucketed.filter(F.col("bucket") == qb)
+        .select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ------------------- committed ANN serving table + probes ------------------
+
+def build_ann_table(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = 4,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BUILD-time assignment of both ANN families' probe columns:
+    (id, embedding, lsh_bucket, ivf_list).  Written once as a stage
+    table partitioned by (lsh_bucket, ivf_list), it turns every
+    subsequent :func:`knn_lsh_kb` / :func:`knn_ivf_kb` query into a
+    partition-pruned scan of ~N/2^n_bits (resp. ~N·nprobe/n_centroids)
+    rows — the assignment UDFs run once per corpus, NEVER per query
+    (r2 verdict #1: the inline variants do O(N) assignment work per
+    query, which is the scale-killer at 10^12 vectors).
+
+    One numpy matmul per Arrow batch per family; ``lsh_bucket`` uses
+    the SAME md5-derived planes as :func:`lsh_bucket`/:func:`knn_lsh`
+    (table 0 of the multi-table family — equality vs the Catalyst HOF
+    twin is pinned in pytest)."""
+    bucket_udf = make_multitable_bucket_udf(dim, n_bits, n_tables=1)
+    assign_udf = make_ivf_assign_udf(dim, n_centroids)
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_udf(F.col(vec_col))[0].alias("lsh_bucket"),
+        assign_udf(F.col(vec_col)).alias("ivf_list"),
+    )
+
+
+def knn_lsh_kb(
+    ann: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH top-k over a COMMITTED :func:`build_ann_table` table: the
+    query's bucket is computed driver-side, the scan is pruned to that
+    one ``lsh_bucket=`` partition, exact cosine rerank inside — no
+    UDF, no full-table assignment at query time."""
+    if dim is None:
+        dim = len(query_vec)
+    qb = query_lsh_bucket(query_vec, dim, n_bits)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        ann.filter(F.col("lsh_bucket") == qb)
+        .select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_ivf_kb(
+    ann: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a COMMITTED :func:`build_ann_table` table: the
+    nprobe nearest centroids are found driver-side, the scan is pruned
+    to those ``ivf_list=`` partitions, exact cosine rerank inside."""
+    if dim is None:
+        dim = len(query_vec)
+    probes = _query_probe_lists(query_vec, dim, n_centroids, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        ann.filter(F.col("ivf_list").isin(probes))
         .select(
             F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim")
         )

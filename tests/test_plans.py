@@ -165,6 +165,38 @@ def test_search_chunks_kb_serves_from_parquet(spark):
     assert "parquet" in plan.lower()
 
 
+def test_knn_kb_probes_are_partition_pruned(spark):
+    """r2 verdict #1: the registered committed-table ANN probes must be
+    parquet scans PRUNED on the bucket/ivf partition column — no
+    ArrowEvalPython, no full-table assignment at query time."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name, part_col in (("knn_lsh_kb", "lsh_bucket"),
+                           ("knn_ivf_kb", "ivf_list")):
+        plan = _plan(qs[name](spark, SF_SMOKE))
+        assert "ArrowEvalPython" not in plan, name
+        assert "parquet" in plan.lower(), name
+        # the probe filter must reach the scan's PartitionFilters
+        pf = plan.split("PartitionFilters: [", 1)
+        assert len(pf) == 2, f"{name}: no PartitionFilters in plan"
+        assert part_col in pf[1].split("]")[0], name
+        # and top-k must stay a per-partition heap + driver merge
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_knn_kb_matches_inline_variants(spark):
+    """The committed-table probes are a PHYSICAL change only: rows must
+    equal the inline assign-per-query variants exactly."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for inline, kb in (("knn_lsh", "knn_lsh_kb"), ("knn_ivf", "knn_ivf_kb")):
+        a = [tuple(r) for r in qs[inline](spark, SF_SMOKE).collect()]
+        b = [tuple(r) for r in qs[kb](spark, SF_SMOKE).collect()]
+        assert a == b and len(a) > 0, (inline, kb)
+
+
 def test_linking_is_shuffle_free(spark):
     """score = prior x n_mentions factorizes, so linking pre-reduces
     the gazetteer and the corpus side must see NO exchange at all."""
