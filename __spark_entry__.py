@@ -64,10 +64,12 @@ from src_to_kb_spark.queries.search import (
     kb_statistics,
     keywords_of,
     lang_distribution,
+    oracle_search_chunks_mcp_sql,
     oracle_search_chunks_sql,
     oracle_substr_count_sql,
     search_by_type,
     search_chunks,
+    search_chunks_mcp,
     search_documents,
     similar_documents,
     similar_documents_mcp,
@@ -369,6 +371,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "preview", "confidence", "is_priority",
         )
 
+    def q_search_chunks_mcp(spark, sf):
+        # the MCP server's embedded search — third search flavor: no
+        # mode filter, no snippet dedup, no \W snippet strips, plain
+        # score sort (mcp-server.mjs:63-110)
+        chunks = chunk_documents(_docs(spark, sf))
+        res = search_chunks_mcp(chunks, SEARCH_QUERY, limit=10)
+        return res.select(
+            "document_id", "document_path", "document_lang", "score",
+            "lines",
+            F.array_join("context_snippets", " | ").alias("snippets"),
+            "preview",
+        )
+
     def q_knn_lsh(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -483,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "chunks": q_chunks,
         "search_chunks": q_search_chunks,
+        "search_chunks_mcp": q_search_chunks_mcp,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_lsh_kb": q_knn_lsh_kb,
@@ -719,6 +735,11 @@ FROM chunks_r GROUP BY doc_uid
 {oracle_search_chunks_sql(SEARCH_QUERY, mode="developer", limit=10)}
 """
 
+    search_chunks_mcp_sql = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
+{chunk_ctes}
+{oracle_search_chunks_mcp_sql(SEARCH_QUERY, limit=10)}
+"""
+
     from src_to_kb_spark.operators.embed import oracle_embeddings_sql
 
     embeddings_sql = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
@@ -787,6 +808,7 @@ SELECT DISTINCT subj, pred, obj FROM (
         "chunks": chunks_sql,
         "reconstruct_content": reconstruct_content,
         "search_chunks": search_chunks_sql,
+        "search_chunks_mcp": search_chunks_mcp_sql,
         "pipeline_triples": pipeline_triples_sql,
         "embeddings": embeddings_sql,
         "search_answer": search_answer_sql,

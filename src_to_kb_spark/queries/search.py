@@ -170,6 +170,114 @@ def search_chunks(
     )
 
 
+def search_chunks_mcp(
+    chunks: DataFrame,
+    query: str,
+    limit: int = 10,
+) -> DataFrame:
+    """The MCP server's EMBEDDED search (mcp-server.mjs:63-110) — a
+    third search flavor that DIVERGES from search.js in three ways the
+    reference never reconciled: (1) snippets get only trim +
+    whitespace-collapse, NOT the ``^\\W+``/``\\W+$`` strips
+    (mcp-server.mjs:86-87 vs search.js:162-166); (2) NO snippet dedup —
+    every matched keyword contributes its snippet (:88 pushes
+    unconditionally); (3) NO mode filter and NO priority re-sort —
+    plain score-desc (:106).  A user driving the engine "as the MCP
+    server" sees raw results where search.js returns filtered/deduped
+    ones.
+
+    Output mirrors the MCP result object (:95-103): documentId,
+    documentPath, documentLang, score, lines "start-end",
+    contextSnippets, preview.  The JS sort is unstable on score ties;
+    chunk_id asc pins both engines.
+    """
+    kws = keywords_of(query)
+    lc = F.lower(F.col("content"))
+
+    score: Column | None = None
+    snippet_cols: list[Column] = []
+    for kw in kws:
+        cnt = F.regexp_count(lc, F.lit(kw))
+        score = cnt if score is None else score + cnt
+        idx = F.instr(lc, kw)
+        start = F.greatest(idx - 80, F.lit(1))
+        end = F.least(idx + F.lit(len(kw)) + 80, F.length(lc) + 1)
+        raw = F.substring(F.col("content"), start, end - start)
+        snip = F.regexp_replace(raw, f"^{JS_WS_CLASS}+|{JS_WS_CLASS}+$", "")
+        snip = F.regexp_replace(snip, f"{JS_WS_CLASS}+", " ")
+        snippet_cols.append(F.when(idx > 0, snip))
+
+    snips = F.filter(F.array(*snippet_cols), lambda s: s.isNotNull())
+    return (
+        chunks.withColumn("score", score)
+        .filter(F.col("score") > 0)
+        .select(
+            F.col("doc_uid").alias("document_id"),
+            F.col("url").alias("document_path"),
+            F.col("lang").alias("document_lang"),
+            "score",
+            F.concat_ws("-", "start_line", "end_line").alias("lines"),
+            snips.alias("context_snippets"),
+            F.substring("content", 1, 200).alias("preview"),
+            "chunk_id",
+        )
+        .orderBy(F.desc("score"), F.asc("chunk_id"))
+        .limit(limit)
+        .drop("chunk_id")
+    )
+
+
+def oracle_search_chunks_mcp_sql(
+    query: str,
+    limit: int = 10,
+    chunks_rel: str = "chunks_r",
+) -> str:
+    """DuckDB twin of :func:`search_chunks_mcp` over a chunker CTE.
+    Snippets joined ' | ' (scalar compare, same projection registered
+    Spark-side)."""
+    kws = keywords_of(query)
+    ws = _re2_ws_class()
+
+    score_terms = []
+    snip_exprs = []
+    for kw in kws:
+        lit = kw.replace("'", "''")
+        score_terms.append(f"len(regexp_extract_all(lc, '{lit}'))")
+        raw = (
+            f"substring(content, greatest(strpos(lc, '{lit}') - 80, 1), "
+            f"least(strpos(lc, '{lit}') + {len(kw)} + 80, length(lc) + 1)"
+            f" - greatest(strpos(lc, '{lit}') - 80, 1))"
+        )
+        snip = f"regexp_replace({raw}, '^{ws}+|{ws}+$', '', 'g')"
+        snip = f"regexp_replace({snip}, '{ws}+', ' ', 'g')"
+        snip_exprs.append(
+            f"CASE WHEN strpos(lc, '{lit}') > 0 THEN {snip} END"
+        )
+
+    return f"""
+, mcp_base AS (
+  SELECT *, lower(content) AS lc FROM {chunks_rel}
+),
+mcp_scored AS (
+  SELECT doc_uid AS document_id, url AS document_path,
+         lang AS document_lang,
+         ({" + ".join(score_terms)}) AS score,
+         start_line || '-' || end_line AS lines,
+         list_filter([{", ".join(snip_exprs)}], x -> x IS NOT NULL)
+           AS snips,
+         substring(content, 1, 200) AS preview,
+         chunk_id
+  FROM mcp_base
+  WHERE ({" + ".join(score_terms)}) > 0
+)
+SELECT document_id, document_path, document_lang, score, lines,
+       array_to_string(snips, ' | ') AS snippets, preview
+FROM mcp_scored
+ORDER BY score DESC, chunk_id
+LIMIT {limit}
+"""
+
+
 def search_by_type(docs: DataFrame, type_or_lang: str) -> DataFrame:
     """F3 — type == t OR language == t (search.js:387-402)."""
     return docs.filter(

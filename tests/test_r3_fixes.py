@@ -69,6 +69,48 @@ def test_notion_content_falls_back_on_null_rich_text():
     assert blocks_to_text(blocks) == ""
 
 
+def test_search_chunks_mcp_divergences(spark):
+    """The MCP embedded search must show all three documented
+    divergences from search.js: no \\W snippet strips, no snippet
+    dedup, no mode filter/priority re-sort."""
+    from src_to_kb_spark.queries.search import search_chunks, search_chunks_mcp
+
+    chunks = spark.createDataFrame(
+        [
+            # content engineered so both keywords match 3 chars apart:
+            # search.js dedups the 2nd snippet (first 30 chars contained
+            # in the 1st), MCP keeps both; trailing '!!!' is stripped by
+            # search.js (\W+$) but kept by MCP
+            ("d1", "https://x/internal/a.js", "javascript", "c1", 0,
+             "alpha beta gamma!!!", 1, 1, 19),
+            # a 2nd chunk excluded by enduser mode in search.js (url
+            # contains 'internal') but returned by MCP
+            ("d2", "https://x/internal/b.js", "javascript", "c2", 0,
+             "alpha alpha beta", 1, 1, 16),
+        ],
+        "doc_uid string, url string, lang string, chunk_id string, "
+        "chunk_index int, content string, start_line int, end_line int, "
+        "size int",
+    )
+    mcp = search_chunks_mcp(chunks, "alpha beta", limit=10).collect()
+    js = search_chunks(chunks, "alpha beta", mode="enduser", limit=10).collect()
+    assert len(js) == 0  # mode filter drops 'internal' paths
+    assert len(mcp) == 2  # MCP has no mode filter
+    top = {r["document_id"]: r for r in mcp}
+    # no dedup: both keyword snippets kept even though overlapping
+    assert len(top["d1"]["context_snippets"]) == 2
+    # no \W strip: trailing punctuation survives in the MCP snippet
+    assert top["d1"]["context_snippets"][0].endswith("!!!")
+    # search.js developer mode DOES dedup + strip on the same rows
+    js_dev = search_chunks(chunks, "alpha beta", mode="developer",
+                           limit=10).collect()
+    d1 = [r for r in js_dev if r["doc_uid"] == "d1"][0]
+    assert len(d1["context_snippets"]) == 1
+    assert not d1["context_snippets"][0].endswith("!!!")
+    # MCP sorts by raw score: d2 (3 matches) above d1 (2 matches)
+    assert [r["document_id"] for r in mcp] == ["d2", "d1"]
+
+
 def test_stage_cache_key_is_content_not_mtime(tmp_path):
     """VERDICT r2 #8: same-mtime regeneration must miss the cache."""
     import __spark_entry__ as entry
