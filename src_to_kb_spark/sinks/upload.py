@@ -1,0 +1,234 @@
+"""End-to-end upload orchestration (upload.js:99-211) — the composed
+flow the reference runs as `node upload.js [--with-embeddings |
+--chunks-only]`:
+
+  load 3 KB tables → (mode-dependent) merge embeddings into chunks →
+  per-doc completeness check → skip-with-warning → send with retry.
+
+Re-expressed Spark-first: the reference's driver loop over documents
+(upload.js:128-204) becomes a join-shaped plan — chunks grouped per
+doc, embeddings merged by chunk_id, completeness via the same
+left-join `verify_upload_completeness` uses — and the send runs
+per-partition through :func:`..sinks.rest.send_rows` (injected sender,
+3×1s retry, AuthError fail-fast, 2 MB size gate).  Each reference
+semantic keeps its line cite inline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .rest import MAX_PAYLOAD_BYTES, send_rows, validate_sink
+
+
+def _doc_payload(row: dict) -> dict:
+    """Document payload with nested chunks (external-server-config.js
+    buildPayload shape, minus wall-clock fields)."""
+    return {
+        "id": row["doc_uid"],
+        "path": row["url"],
+        "content": row.get("content"),
+        "language": row.get("language_ext"),
+        "type": row.get("type"),
+        "size": row.get("size"),
+        "chunks": row.get("chunks"),
+    }
+
+
+def merge_embeddings_into_chunks(
+    chunks: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """upload.js:146-150 — `embeddingMap.get(chunk.id)` as a left
+    equi-join on chunk_id; chunks without a vector keep embedding=null
+    (the completeness check downstream decides the doc's fate)."""
+    return chunks.join(
+        embeddings.select("chunk_id", "embedding"), "chunk_id", "left"
+    )
+
+
+def _docs_with_chunks(
+    docs: DataFrame, chunks: DataFrame, with_embedding: bool
+) -> DataFrame:
+    """(doc columns…, chunks: array<struct>, n_chunks, n_missing) —
+    chunks index-ordered per doc; n_missing counts embedding-less
+    chunks (0 when not merging embeddings)."""
+    fields = [
+        F.col("chunk_id").alias("id"),
+        F.col("chunk_index").alias("index"),
+        F.col("content"),
+        F.col("start_line").alias("startLine"),
+        F.col("end_line").alias("endLine"),
+    ]
+    if with_embedding:
+        fields.append(F.col("embedding"))
+    per_doc = chunks.groupBy("doc_uid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("chunk_index").alias("_i"),
+                                        F.struct(*fields).alias("_c")))
+            ),
+            lambda s: s["_c"],
+        ).alias("chunks"),
+        F.count("*").alias("n_chunks"),
+        (
+            F.sum(
+                F.when(F.col("embedding").isNull(), 1).otherwise(0)
+            ) if with_embedding else F.lit(0)
+        ).alias("n_missing"),
+    )
+    return docs.join(per_doc, "doc_uid", "left")
+
+
+def upload(
+    spark: SparkSession,
+    documents: DataFrame,
+    chunks: DataFrame | None,
+    embeddings: DataFrame | None,
+    sender_factory: Callable[[], Callable[[dict], Any]],
+    send_embeddings: bool = False,
+    send_chunks: bool = False,
+    validate: bool = True,
+    size_gate: int = MAX_PAYLOAD_BYTES,
+    **send_kw,
+) -> dict:
+    """The composed uploader.  Returns
+    {mode, sent, failed, skipped_incomplete, skipped_oversize, total}.
+
+    * validate server first (upload.js:101, validateExternalServer) —
+      one driver-side probe, fail-fast.
+    * empty-KB / flag-vs-content mismatches raise exactly like
+      upload.js:104-114 ("No documents found…", "No embeddings
+      found…", "No chunks found…").
+    * --with-embeddings: merge per chunk_id; a doc with NO or PARTIAL
+      embeddings is skipped-with-warning and counted failed
+      (upload.js:141-158) — here surfaced as ``skipped_incomplete``
+      plus a driver-side warning line, keeping "failed" for real send
+      errors.
+    * --chunks-only: docs with zero chunks skip (upload.js:169-173).
+    * default (raw content): content is reconstructed from chunks
+      joined '\\n\\n' when chunks exist (upload.js:187-190), else the
+      document's own text.
+    """
+    n_docs = documents.limit(1).count()
+    if n_docs == 0:
+        raise ValueError("No documents found in knowledge base")
+    if send_embeddings and (
+        embeddings is None or embeddings.limit(1).count() == 0
+    ):
+        raise ValueError(
+            "No embeddings found. Use --with-embeddings only if "
+            "embeddings exist in the KB."
+        )
+    if send_chunks and (chunks is None or chunks.limit(1).count() == 0):
+        raise ValueError(
+            "No chunks found. Use --chunks-only only if chunks exist "
+            "in the KB."
+        )
+    if validate:
+        validate_sink(sender_factory())  # upload.js:101 preflight
+
+    mode = (
+        "chunks_with_embeddings" if send_embeddings
+        else "chunks_only" if send_chunks
+        else "raw_content"
+    )
+
+    doc_cols = documents.select(
+        "doc_uid", "url", "size", "language_ext", "type", "text"
+    )
+    chunks = chunks if chunks is not None else _empty_chunks(spark)
+
+    skipped_incomplete = 0
+    if send_embeddings:
+        merged = merge_embeddings_into_chunks(chunks, embeddings)
+        joined = _docs_with_chunks(doc_cols, merged, with_embedding=True)
+        # skip-with-warning set: no chunks at all, no embeddings, or
+        # partially missing (upload.js:141-158)
+        bad = F.col("chunks").isNull() | (F.col("n_missing") > 0)
+        skipped_incomplete = joined.filter(bad).count()
+        sendable = joined.filter(~bad).withColumn(
+            "content", F.lit(None).cast("string")
+        )
+    elif send_chunks:
+        joined = _docs_with_chunks(doc_cols, chunks, with_embedding=False)
+        bad = F.col("chunks").isNull()
+        skipped_incomplete = joined.filter(bad).count()
+        sendable = joined.filter(~bad).withColumn(
+            "content", F.lit(None).cast("string")
+        )
+    else:
+        joined = _docs_with_chunks(doc_cols, chunks, with_embedding=False)
+        # raw content: reconstruct from chunks when available
+        # (upload.js:187-190), else the document text; chunks not sent
+        sendable = joined.withColumn(
+            "content",
+            F.coalesce(
+                F.array_join(
+                    F.transform(F.col("chunks"), lambda c: c["content"]),
+                    "\n\n",
+                ),
+                F.col("text"),
+            ),
+        ).withColumn("chunks", F.lit(None).cast("string"))
+    if skipped_incomplete:
+        print(
+            f"⚠️  {skipped_incomplete} documents incomplete for mode "
+            f"{mode}, skipping"
+        )
+
+    rows = sendable.drop("text", "n_chunks", "n_missing")
+
+    def _part(it):
+        sender = sender_factory()
+        yield send_rows(
+            [r.asDict(recursive=True) for r in it],
+            sender,
+            build=_doc_payload,
+            size_gate=size_gate,
+            **send_kw,
+        )
+
+    parts = rows.rdd.mapPartitions(_part).collect()
+    out = {
+        "mode": mode,
+        "sent": sum(p["sent"] for p in parts),
+        "failed": sum(p["failed"] for p in parts),
+        "skipped_oversize": sum(p["skipped_oversize"] for p in parts),
+        "skipped_incomplete": skipped_incomplete,
+        "total": documents.count(),
+    }
+    return out
+
+
+def _empty_chunks(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "doc_uid string, chunk_id string, chunk_index int, content string,"
+        " start_line int, end_line int",
+    )
+
+
+def upload_kb(
+    spark: SparkSession,
+    kb_dir: str,
+    sender_factory: Callable[[], Callable[[dict], Any]],
+    **kw,
+) -> dict:
+    """CLI-shaped entry: read the three stage tables from a pipeline
+    --output dir (documents always; chunks/embeddings when committed —
+    upload.js:44-97 loads whatever exists) and run :func:`upload`."""
+    from ..runtime.checkpoint import is_committed, read_stage
+
+    documents = read_stage(spark, kb_dir, "documents")
+    chunks = (
+        read_stage(spark, kb_dir, "chunks")
+        if is_committed(kb_dir, "chunks") else None
+    )
+    embeddings = (
+        read_stage(spark, kb_dir, "embeddings")
+        if is_committed(kb_dir, "embeddings") else None
+    )
+    return upload(spark, documents, chunks, embeddings, sender_factory, **kw)

@@ -1,0 +1,179 @@
+"""Composed uploader (upload.js:99-211): mode selection, embedding
+merge, completeness skip-with-warning, raw-content reconstruction,
+retry / fail-fast — all hermetic via injected senders."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from src_to_kb_spark.operators.chunker import chunk_documents
+from src_to_kb_spark.operators.extract import extract_pages
+from src_to_kb_spark.sinks.rest import AuthError
+from src_to_kb_spark.sinks.upload import upload
+from src_to_kb_spark.sources.pages import synthetic_pages
+
+
+class Collector:
+    """Sender that journals payloads to a shared directory as JSON
+    lines — Python UDF workers are separate PROCESSES, so an in-memory
+    list would stay worker-side; files are the channel back."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, payload):
+        import json
+        import os
+
+        with open(
+            os.path.join(self.out_dir, f"p_{os.getpid()}.jsonl"), "a"
+        ) as f:
+            f.write(json.dumps(payload) + "\n")
+
+    @staticmethod
+    def read(out_dir: str) -> list[dict]:
+        import json
+        import os
+
+        out = []
+        for fn in sorted(os.listdir(out_dir)):
+            with open(os.path.join(out_dir, fn)) as f:
+                out.extend(json.loads(line) for line in f)
+        return out
+
+
+@pytest.fixture()
+def kb(spark):
+    docs = extract_pages(synthetic_pages(spark, n=12)).cache()
+    chunks = chunk_documents(docs).cache()
+    # embeddings for every chunk EXCEPT those of one victim doc (one
+    # missing vector → partial → skip) and one doc with zero vectors
+    some_doc = chunks.select("doc_uid").distinct().orderBy("doc_uid")
+    victims = [r["doc_uid"] for r in some_doc.limit(2).collect()]
+    emb = (
+        chunks.filter(~F.col("doc_uid").isin(victims))
+        .select("chunk_id", F.array(F.lit(0.1), F.lit(0.2)).alias("embedding"))
+    )
+    partial = (
+        chunks.filter(F.col("doc_uid") == victims[0])
+        .orderBy("chunk_index").limit(1)
+        .select("chunk_id", F.array(F.lit(0.3)).alias("embedding"))
+    )
+    return docs, chunks, emb.union(partial), victims
+
+
+def test_upload_with_embeddings_merges_and_skips(spark, kb, tmp_path):
+    docs, chunks, emb, victims = kb
+    out = str(tmp_path / "sent")
+    __import__("os").makedirs(out)
+    res = upload(
+        spark, docs, chunks, emb, lambda: Collector(out),
+        send_embeddings=True, validate=False, retry_delay=0.0,
+    )
+    assert res["mode"] == "chunks_with_embeddings"
+    assert res["total"] == 12
+    # both victims skip: one has a partially-embedded chunk set (if it
+    # has >1 chunk) or IS fully embedded with its single partial vector
+    assert res["skipped_incomplete"] >= 1
+    assert res["sent"] == 12 - res["skipped_incomplete"]
+    assert res["failed"] == 0
+    payloads = Collector.read(out)
+    # merged payloads: every chunk of every sent doc carries its vector
+    assert len(payloads) == res["sent"]
+    for p in payloads:
+        assert p["chunks"], p["id"]
+        assert all(c["embedding"] is not None for c in p["chunks"])
+        assert [c["index"] for c in p["chunks"]] == sorted(
+            c["index"] for c in p["chunks"]
+        )
+
+
+def test_upload_raw_content_reconstructs_from_chunks(spark, kb, tmp_path):
+    docs, chunks, emb, _ = kb
+    out = str(tmp_path / "sent")
+    __import__("os").makedirs(out)
+    res = upload(
+        spark, docs, chunks, None, lambda: Collector(out),
+        validate=False, retry_delay=0.0,
+    )
+    assert res["mode"] == "raw_content"
+    assert res["sent"] == 12 and res["failed"] == 0
+    from src_to_kb_spark.operators.kbio import reconstruct_content
+
+    recon = {
+        r["doc_uid"]: r["content"]
+        for r in reconstruct_content(chunks).collect()
+    }
+    payloads = Collector.read(out)
+    assert len(payloads) == 12
+    for p in payloads:
+        assert p["content"] == recon[p["id"]]  # upload.js:187-190
+
+
+def test_upload_chunks_only_skips_chunkless(spark, kb, tmp_path):
+    docs, chunks, emb, _ = kb
+    one = chunks.select("doc_uid").distinct().orderBy("doc_uid").limit(1)
+    chunkless = chunks.join(one, "doc_uid", "left_anti")
+    out = str(tmp_path / "sent")
+    __import__("os").makedirs(out)
+    res = upload(
+        spark, docs, chunkless, None, lambda: Collector(out),
+        send_chunks=True, validate=False, retry_delay=0.0,
+    )
+    assert res["skipped_incomplete"] == 1
+    assert res["sent"] == 11
+    assert all(p["chunks"] for p in Collector.read(out))
+
+
+def test_upload_empty_kb_and_flag_mismatches_raise(spark, kb):
+    docs, chunks, emb, _ = kb
+    noop = lambda: (lambda p: None)  # noqa: E731
+    empty_docs = docs.filter(F.lit(False))
+    with pytest.raises(ValueError, match="No documents"):
+        upload(spark, empty_docs, chunks, emb, noop, validate=False)
+    with pytest.raises(ValueError, match="No embeddings"):
+        upload(spark, docs, chunks, None, noop,
+               send_embeddings=True, validate=False)
+    with pytest.raises(ValueError, match="No chunks"):
+        upload(spark, docs, chunks.filter(F.lit(False)), emb,
+               noop, send_chunks=True, validate=False)
+
+
+def test_upload_retry_and_fail_fast(spark, kb):
+    docs, chunks, emb, _ = kb
+
+    class Flaky:
+        """Fails every payload once, succeeds on retry."""
+        seen: set = set()
+
+        def __call__(self, payload):
+            if payload["id"] not in Flaky.seen:
+                Flaky.seen.add(payload["id"])
+                raise RuntimeError("transient")
+
+    Flaky.seen = set()
+    res = upload(spark, docs, chunks, None, lambda: Flaky(),
+                 validate=False, retry_delay=0.0)
+    assert res["sent"] == 12 and res["failed"] == 0  # retried through
+
+    class Dead:
+        def __call__(self, payload):
+            raise RuntimeError("down")
+
+    res2 = upload(spark, docs, chunks, None, lambda: Dead(),
+                  validate=False, retry_delay=0.0)
+    assert res2["failed"] == 12 and res2["sent"] == 0  # per-item isolation
+
+    class Auth:
+        def __call__(self, payload):
+            raise AuthError("401")
+
+    # AuthError aborts the partition (fail-fast), surfacing as a task
+    # error — preflight validate would normally catch this first
+    with pytest.raises(Exception):
+        upload(spark, docs, chunks, None, lambda: Auth(),
+               validate=False, retry_delay=0.0)
+    # and the preflight itself fails fast driver-side
+    with pytest.raises(AuthError):
+        upload(spark, docs, chunks, None, lambda: Auth(), validate=True)
