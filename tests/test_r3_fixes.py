@@ -69,6 +69,113 @@ def test_notion_content_falls_back_on_null_rich_text():
     assert blocks_to_text(blocks) == ""
 
 
+def _wav_bytes(n=256, rate=8000) -> bytes:
+    import io
+    import math
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        frames = b"".join(
+            int(20000 * math.sin(2 * math.pi * 440 * i / rate)).to_bytes(
+                2, "little", signed=True
+            ) * 2
+            for i in range(n)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def _ppm_bytes(w=16, h=12) -> bytes:
+    raster = bytes(
+        (x * 7 + y * 13 + c * 31) % 256
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + raster
+
+
+def _bmp_bytes(w=10, h=6) -> bytes:
+    import struct
+
+    row_size = ((24 * w + 31) // 32) * 4
+    data = b"".join(
+        bytes((x * 5 + y * 11 + c) % 256 for c in range(3)).ljust(3)
+        + (b"" if x < w - 1 else b"\x00" * (row_size - w * 3))
+        for y in range(h) for x in range(w)
+    )
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def test_multimodal_real_decode_stdlib_codecs(spark):
+    """VERDICT r2 #3: WAV/PPM/BMP decode end-to-end through the real
+    mapInPandas pipeline with decode='real' — no third-party codec."""
+    import numpy as np
+
+    from src_to_kb_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_ppm,
+        _decode_wav,
+        extract_media_features,
+    )
+
+    wav, ppm, bmp = _wav_bytes(), _ppm_bytes(), _bmp_bytes()
+    # unit sanity on the decoders themselves
+    sig = _decode_wav(wav)
+    assert sig.shape == (256,) and np.all(np.abs(sig) <= 1.0)
+    assert _decode_ppm(ppm).shape == (16 * 12,)
+    assert _decode_bmp(bmp).shape == (10 * 6,)
+
+    media = spark.createDataFrame(
+        [
+            ("u:wav", "audio", wav,
+             {"width": None, "height": None, "sample_rate": 8000,
+              "duration_ms": None, "codec": "pcm"}),
+            ("u:ppm", "image", ppm,
+             {"width": 16, "height": 12, "sample_rate": None,
+              "duration_ms": None, "codec": "ppm"}),
+            ("u:bmp", "image", bmp,
+             {"width": 10, "height": 6, "sample_rate": None,
+              "duration_ms": None, "codec": "bmp"}),
+        ],
+        "url string, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,"
+        "duration_ms:int,codec:string>",
+    )
+    feats = {
+        r["url"]: r
+        for r in extract_media_features(media, decode="real").collect()
+    }
+    assert len(feats) == 3
+    for url, r in feats.items():
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) > 0
+        assert all(f == f for f in r["feature"])  # no NaNs
+    # deterministic: a second run yields identical features
+    again = {
+        r["url"]: r["feature"]
+        for r in extract_media_features(media, decode="real").collect()
+    }
+    assert {u: r["feature"] for u, r in feats.items()} == again
+    # compressed codecs still honestly refuse
+    import pytest as _pytest
+
+    jpeg = spark.createDataFrame(
+        [("u:jpg", "image", b"\xff\xd8\xff\xe0fakejpeg",
+          {"width": 1, "height": 1, "sample_rate": None,
+           "duration_ms": None, "codec": "jpeg"})],
+        media.schema,
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
+        extract_media_features(jpeg, decode="real").collect()
+
+
 def test_search_chunks_mcp_divergences(spark):
     """The MCP embedded search must show all three documented
     divergences from search.js: no \\W snippet strips, no snippet
