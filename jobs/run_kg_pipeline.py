@@ -46,7 +46,12 @@ def main(argv: list[str] | None = None) -> dict:
 
     from src_to_kb_spark.operators.canonicalize import connected_components
     from src_to_kb_spark.operators.chunker import chunk_documents
-    from src_to_kb_spark.operators.dedup import neardup_pairs
+    from src_to_kb_spark.operators.dedup import (
+        band_signature_rows,
+        candidate_pairs_from_bands,
+        candidate_pairs_involving,
+        verify_candidate_pairs,
+    )
     from src_to_kb_spark.operators.extract import extract_pages
     from src_to_kb_spark.operators.linking import link_mentions
     from src_to_kb_spark.operators.mentions import detect_mentions
@@ -106,8 +111,8 @@ def main(argv: list[str] | None = None) -> dict:
         .select(*page_cols)
     )
 
-    DOWNSTREAM = ("chunks", "linked", "neardup_pairs", "components",
-                  "triples")
+    DOWNSTREAM = ("chunks", "linked", "bands", "neardup_pairs",
+                  "components", "triples")
     pending_marker = os.path.join(args.output, "_delta_pending")
 
     def invalidate(stages):
@@ -156,11 +161,15 @@ def main(argv: list[str] | None = None) -> dict:
     # A documents delta invalidates every committed downstream result.
     # Per-document (map-only) stages — chunks, linked — propagate the
     # delta exactly: compute over the NEW documents only, append.
-    # Global stages — neardup_pairs, components, triples — depend on
-    # cross-document structure, so their committed markers are dropped
-    # and they recompute over the full documents table.
+    # Near-dup is delta-aware too (r2 verdict #2): the band signatures
+    # are their own committed stage table, so a delta only bands the
+    # NEW docs and joins them against the committed bands — the band
+    # UDF never re-touches the existing corpus.  Only the stages that
+    # are genuinely global over a SMALL input — components (over the
+    # pair table) and triples (map-only union over stage tables) —
+    # recompute.
     if docs_delta is not None:
-        invalidate(("neardup_pairs", "components", "triples"))
+        invalidate(("components", "triples"))
 
     # -- downstream stages (each committed-or-computed) --------------------
     gaz = gazetteer_df(spark)
@@ -200,10 +209,42 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
     def mk_components():
-        pairs = stage(
-            "neardup_pairs",
-            lambda: neardup_pairs(documents, threshold=args.neardup_threshold),
+        # bands stage table: 2 short strings per doc — per-document, so
+        # it delta-appends like chunks/linked
+        bands = stage(
+            "bands",
+            lambda: band_signature_rows(documents),
+            make_delta=band_signature_rows,
         )
+        if not is_committed(args.output, "neardup_pairs"):
+            write_stage(
+                verify_candidate_pairs(
+                    documents,
+                    candidate_pairs_from_bands(bands),
+                    threshold=args.neardup_threshold,
+                ),
+                args.output,
+                "neardup_pairs",
+            )
+        elif docs_delta is not None:
+            # incremental near-dup: every NEW pair has ≥1 delta member
+            # (delta urls are anti-joined fresh), so candidates =
+            # bands(delta) ⋈ bands(full, incl. the just-appended delta
+            # rows), verified against the full documents table, and
+            # APPENDED — the committed pair set stays untouched.
+            delta_keys = docs_delta.select(F.col("url").alias("key"))
+            delta_bands = bands.join(delta_keys, "key", "left_semi")
+            new_pairs = verify_candidate_pairs(
+                documents,
+                candidate_pairs_involving(delta_bands, bands),
+                threshold=args.neardup_threshold,
+            )
+            write_stage(
+                new_pairs, args.output, "neardup_pairs", mode="append"
+            )
+        pairs = read_stage(spark, args.output, "neardup_pairs")
+        # components always recompute from the (small) pair table when
+        # pairs changed — their marker is invalidated on any delta
         return pairs, stage(
             "components", lambda: connected_components(pairs)
         )

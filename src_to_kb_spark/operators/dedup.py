@@ -261,41 +261,67 @@ def make_intersection_udf():
     return n_common_udf
 
 
-def neardup_pairs(
+def band_signature_rows(
+    docs: DataFrame, key_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(key, band, band_sig) — the LSH banding pass alone (one Arrow
+    UDF emitting 2 short strings per doc).  Persisted as its own stage
+    table by the pipeline job so a documents DELTA only bands the new
+    docs and joins against these committed rows."""
+    bands_udf = make_bands_udf()
+    return _band_rows(
+        docs.select(
+            F.col(key_col).alias("key"),
+            bands_udf(F.col(text_col)).alias("bands"),
+        )
+    )
+
+
+def candidate_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from a (key, band, band_sig) table."""
+    return _band_pairs(bands)
+
+
+def candidate_pairs_involving(
+    sub_bands: DataFrame, all_bands: DataFrame
+) -> DataFrame:
+    """Candidate pairs with ≥1 member in ``sub_bands`` — the DELTA
+    candidate join: bands(delta) ⋈ bands(corpus ∪ delta) on the band
+    signature.  Pairs among pre-existing docs never appear (they are
+    already in the committed pair table); (delta, delta) pairs appear
+    once via least/greatest + distinct."""
+    a, b = sub_bands.alias("a"), all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.key") != F.col("b.key")),
+        )
+        .select(
+            F.least("a.key", "b.key").alias("key_a"),
+            F.greatest("a.key", "b.key").alias("key_b"),
+        )
+        .distinct()
+    )
+
+
+def verify_candidate_pairs(
     docs: DataFrame,
+    cands: DataFrame,
     key_col: str = "url",
     text_col: str = "text",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """LSH candidates verified with exact 3-shingle Jaccard ≥ threshold.
+    """Exact 3-shingle-Jaccard verification of candidate pairs →
+    (key_a, key_b, jaccard ≥ threshold), jaccard rounded 6 dp.
 
-    → (key_a, key_b, jaccard) with jaccard rounded to 6 dp for stable
-    cross-engine comparison.
-
-    Plan shape: pass 1 (Arrow UDF) computes ONLY band signatures — two
-    short strings per doc through Arrow, localCheckpointed (the local
-    proxy for the stage writing its own table at cluster scale); the
-    band self-join produces the (small) candidate set; pass 2 runs the
-    shingle-set UDF ONLY over candidate-pair members (a left-semi join
-    keeps it a tiny fraction of the corpus) and verification counts
-    intersections in a vectorized pandas UDF — the full corpus's
-    shingle sets are never materialized or shuffled.  The division +
-    rounding stay in Catalyst so cross-engine rounding semantics
-    (HALF_UP) match the DuckDB oracle.
-
-    Both checkpoints are LAZY: they still truncate lineage (the plan
-    downstream reads a checkpointed RDD scan) but materialize inside
-    the first consuming job instead of adding an eager driver barrier
-    each — two fewer serial jobs per pipeline run, which matters for
-    the north-rule scaling efficiency where barriered driver time is
-    the fixed cost that does not shrink with executors.
-    """
-    bands_udf = make_bands_udf()
-    bands_df = docs.select(
-        F.col(key_col).alias("key"),
-        bands_udf(F.col(text_col)).alias("bands"),
-    ).localCheckpoint(eager=False)
-    cands = _band_pairs(_band_rows(bands_df)).localCheckpoint(eager=False)
+    The shingle-hash UDF runs ONLY over candidate-pair members (a
+    left-semi join keeps it a tiny fraction of the corpus);
+    intersections count vectorized in pandas over sorted int64 hashes;
+    division + rounding stay in Catalyst so cross-engine rounding
+    semantics (HALF_UP) match the DuckDB oracle."""
+    cands = cands.localCheckpoint(eager=False)
     cand_keys = (
         cands.select(F.col("key_a").alias("key"))
         .union(cands.select(F.col("key_b").alias("key")))
@@ -332,6 +358,40 @@ def neardup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("key_a", "key_b", "jaccard")
     )
+
+
+def neardup_pairs(
+    docs: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates verified with exact 3-shingle Jaccard ≥ threshold.
+
+    → (key_a, key_b, jaccard) with jaccard rounded to 6 dp for stable
+    cross-engine comparison.
+
+    Plan shape: pass 1 (Arrow UDF) computes ONLY band signatures — two
+    short strings per doc through Arrow, localCheckpointed (the local
+    proxy for the stage writing its own table at cluster scale); the
+    band self-join produces the (small) candidate set; pass 2
+    (:func:`verify_candidate_pairs`) touches candidate members only —
+    the full corpus's shingle sets are never materialized or shuffled.
+
+    Both checkpoints are LAZY: they still truncate lineage (the plan
+    downstream reads a checkpointed RDD scan) but materialize inside
+    the first consuming job instead of adding an eager driver barrier
+    each — two fewer serial jobs per pipeline run, which matters for
+    the north-rule scaling efficiency where barriered driver time is
+    the fixed cost that does not shrink with executors.
+    """
+    bands_udf = make_bands_udf()
+    bands_df = docs.select(
+        F.col(key_col).alias("key"),
+        bands_udf(F.col(text_col)).alias("bands"),
+    ).localCheckpoint(eager=False)
+    cands = _band_pairs(_band_rows(bands_df))
+    return verify_candidate_pairs(docs, cands, key_col, text_col, threshold)
 
 
 # --------------------------- SimHash ---------------------------------------
