@@ -31,12 +31,33 @@ BENCH_QUERIES = [
     "chunks",
     "search_docs",
     "search_chunks",
+    "search_chunks_kb",
+    "search_chunks_mcp",
     "mentions",
     "entity_link",
     "neardup_minhash",
+    "simhash_pairs",
+    "embedding_neardup",
+    "streaming_dedup",
     "knn_cosine",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_lsh_kb",
+    "knn_ivf_kb",
     "text_stats",
     "pipeline_triples",
+]
+
+# Queries that SERVE from a committed stage table (chunks / ANN /
+# streaming-drain output).  Their stage build happens in the UNTIMED
+# warm-up so the timed number is the serving cost — the build cost is
+# the pipeline's, measured by pipeline_triples/doc_ingest — and so the
+# number is the same whether or not /tmp already holds the cache.
+STAGE_BACKED = [
+    "search_chunks_kb",
+    "streaming_dedup",
+    "knn_lsh_kb",
+    "knn_ivf_kb",
 ]
 
 
@@ -54,6 +75,10 @@ def _run_once(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     extract_pages(load_pages(spark, sf_dir)).write.format("noop").mode(
         "overwrite"
     ).save()
+    # stage-table builds are untimed (see STAGE_BACKED) — constructing
+    # the query triggers the committed-table build if absent
+    for name in STAGE_BACKED:
+        qs[name](spark, sf_dir)
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)

@@ -86,26 +86,23 @@ def embedding_neardup_pairs(
     pytest recall reference — a cross join would be a cartesian
     product at scale).  Pass ``dim`` to avoid a probe job.
     """
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
-    )
     if bucketed:
         if dim is None:
             dim = len(embeddings.select(vec_col).first()[0])
 
         bucket_udf = make_multitable_bucket_udf(dim, n_bits, n_tables)
 
-        def with_tables(df, vcol):
-            # one numpy matmul per Arrow batch computes every table's
-            # bucket (see make_multitable_bucket_udf — the Catalyst-HOF
-            # per-plane fold evaluates interpreted and anti-scales)
-            return df.select(
-                "*",
-                F.posexplode(bucket_udf(F.col(vcol))).alias("tbl", "bucket"),
-            )
+        # one numpy matmul per Arrow batch computes every table's
+        # bucket (see make_multitable_bucket_udf — the Catalyst-HOF
+        # per-plane fold evaluates interpreted and anti-scales).  The
+        # bucketed rows are computed ONCE and lazily checkpointed so
+        # the self-join's two sides share the single UDF pass instead
+        # of re-running it per side (measured ~2× on the sf0.1 bench).
+        eb = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.posexplode(bucket_udf(F.col(vec_col))).alias("tbl", "bucket"),
+        ).localCheckpoint(eager=False)
 
         # OR-amplified multi-table LSH: a pair is a candidate if it
         # collides in ANY of the n_tables independent n_bits-plane
@@ -114,12 +111,27 @@ def embedding_neardup_pairs(
         # data you raise n_bits (smaller buckets) and n_tables
         # (recall) together — never a cross join.
         joined = (
-            with_tables(a, "v_a")
-            .join(with_tables(b, "v_b"), ["tbl", "bucket"])
+            eb.select(
+                F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                "tbl", "bucket",
+            )
+            .join(
+                eb.select(
+                    F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                    "tbl", "bucket",
+                ),
+                ["tbl", "bucket"],
+            )
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
+        a = embeddings.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+        )
+        b = embeddings.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+        )
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         joined.withColumn(
