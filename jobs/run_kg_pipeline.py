@@ -15,7 +15,12 @@ Each stage writes its own parquet table under --output with a
 (``_metrics_<stage>.json``).  Re-running with the same --output resumes:
 committed stages are re-read, uncommitted input keys are recomputed via
 anti-join (north_rule: "resumable from checkpoint with per-partition
-lineage + metrics").  On an Iceberg deployment the markers are replaced
+lineage + metrics").  Resume cost is O(delta), not O(corpus): per-doc
+stages (documents, chunks, linked, bands) append rows derived from the
+new docs only, near-dup pairs come from joining the delta's bands
+against the committed bands table, and only the genuinely global
+stages — components (over the small pair table) and triples (map-only
+union) — recompute.  On an Iceberg deployment the markers are replaced
 by table snapshots; the flow is identical.
 """
 
