@@ -465,6 +465,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return reconstruct_content(chunk_documents(_docs(spark, sf)))
 
+    def q_upload_completeness(spark, sf):
+        # S-row upload-time completeness check (upload.js:146-158)
+        # under the oracle contract: embeddings synthesized present for
+        # ~80% of chunk ids by a deterministic md5 predicate both
+        # engines share, so the anti-join result is value-checkable.
+        from src_to_kb_spark.operators.kbio import verify_upload_completeness
+
+        chunks = chunk_documents(_docs(spark, sf))
+        emb = chunks.filter(
+            ~F.substring(F.md5("chunk_id"), 1, 1).isin("0", "1", "2")
+        ).select("chunk_id")
+        return verify_upload_completeness(chunks, emb).select(
+            "doc_uid", "n_chunks", "n_missing"
+        )
+
+    def q_kb_doc_summary(spark, sf):
+        # S10's per-document summary projection as a real table
+        from src_to_kb_spark.operators.kbio import kb_summary_documents
+
+        docs = _docs(spark, sf)
+        return kb_summary_documents(docs, chunk_documents(docs))
+
     def q_search_answer(spark, sf):
         from src_to_kb_spark.queries.answers import answer_from_df
 
@@ -508,6 +530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "simhash_pairs": q_simhash_pairs,
         "reconstruct_content": q_reconstruct_content,
+        "upload_completeness": q_upload_completeness,
+        "kb_doc_summary": q_kb_doc_summary,
         "search_answer": q_search_answer,
     }
 
@@ -747,6 +771,27 @@ FROM chunks_r GROUP BY doc_uid
 {oracle_embeddings_sql()}
 """
 
+    upload_completeness = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
+{chunk_ctes}
+SELECT doc_uid, count(*) AS n_chunks,
+       sum(CASE WHEN substr(md5(chunk_id), 1, 1) IN ('0', '1', '2')
+                THEN 1 ELSE 0 END)::BIGINT AS n_missing
+FROM chunks_r
+GROUP BY doc_uid
+HAVING n_missing > 0
+"""
+
+    kb_doc_summary = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
+{chunk_ctes},
+cc AS (SELECT doc_uid, count(*) AS chunks FROM chunks_r GROUP BY 1)
+SELECT 'doc_' || sha256(p.url) AS id, p.url AS path,
+       octet_length(encode(p.text))::BIGINT AS size,
+       coalesce(cc.chunks, 0) AS chunks,
+       {oracle_lang_sql(ext)} AS language,
+       {oracle_type_sql(ext)} AS type
+FROM pages p LEFT JOIN cc ON cc.doc_uid = 'doc_' || sha256(p.url)
+"""
+
     from src_to_kb_spark.queries.answers import oracle_search_answer_sql
 
     search_answer_sql = f"""WITH RECURSIVE {pages.removeprefix('WITH ')},
@@ -807,6 +852,8 @@ SELECT DISTINCT subj, pred, obj FROM (
         "knn_ivf_kb": knn_ivf_sql,
         "chunks": chunks_sql,
         "reconstruct_content": reconstruct_content,
+        "upload_completeness": upload_completeness,
+        "kb_doc_summary": kb_doc_summary,
         "search_chunks": search_chunks_sql,
         "search_chunks_mcp": search_chunks_mcp_sql,
         "pipeline_triples": pipeline_triples_sql,
