@@ -415,13 +415,16 @@ def simhash_py(text: str, bits: int = 64) -> int:
     return sig - (1 << 63)  # wrap to signed 64-bit for Spark LongType
 
 
-def simhash_np(text: str) -> int:
+def simhash_np(text: str, _hash_cache: dict | None = None) -> int:
     """Vectorized :func:`simhash_py` twin: md5 per token stays hashlib
     (C), but the 64-bit majority vote is ONE numpy unpack+sum instead
     of a 64-iteration Python loop per token — measured 13.6 s → ~3 s
-    over the sf0.1 corpus.  Bit-identical by construction (same integer
-    sums, same acc>0 rule); parity with simhash_py is pinned in
-    tests/test_misc_ops.py."""
+    over the sf0.1 corpus.  ``_hash_cache`` optionally memoizes
+    token → digest bytes across calls: web-text vocabularies are Zipfy
+    (distinct tokens ≪ token occurrences), so a per-batch cache
+    removes most md5 calls.  Bit-identical by construction (same
+    integer sums, same acc>0 rule); parity with simhash_py is pinned
+    in tests/test_misc_ops.py."""
     import hashlib as _hl
 
     import numpy as np
@@ -429,9 +432,18 @@ def simhash_np(text: str) -> int:
     toks = ascii_tokens(text)
     if not toks:
         return -(1 << 63)
-    hv = np.frombuffer(
-        b"".join(_hl.md5(t.encode()).digest()[:8] for t in toks), dtype=">u8"
-    ).astype(np.uint64)
+    if _hash_cache is None:
+        digest = b"".join(_hl.md5(t.encode()).digest()[:8] for t in toks)
+    else:
+        parts = []
+        for t in toks:
+            d = _hash_cache.get(t)
+            if d is None:
+                d = _hl.md5(t.encode()).digest()[:8]
+                _hash_cache[t] = d
+            parts.append(d)
+        digest = b"".join(parts)
+    hv = np.frombuffer(digest, dtype=">u8").astype(np.uint64)
     bits = (hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     sig = int(
@@ -445,7 +457,8 @@ def make_simhash_udf():
 
     @pandas_udf("long")
     def simhash_udf(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: simhash_np(t or ""))
+        cache: dict = {}  # per-batch token→digest memo (Zipf vocab)
+        return text.map(lambda t: simhash_np(t or "", cache))
 
     return simhash_udf
 

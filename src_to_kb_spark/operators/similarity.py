@@ -100,7 +100,6 @@ def embedding_neardup_pairs(
         # of re-running it per side (measured ~2× on the sf0.1 bench).
         eb = embeddings.select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
             F.posexplode(bucket_udf(F.col(vec_col))).alias("tbl", "bucket"),
         ).localCheckpoint(eager=False)
 
@@ -109,30 +108,61 @@ def embedding_neardup_pairs(
         # tables (recall 1-(1-p^b)^T vs p^b for one table).  The join
         # is a hash-partitioned equi-join on (table, bucket); at 100×
         # data you raise n_bits (smaller buckets) and n_tables
-        # (recall) together — never a cross join.
+        # (recall) together — never a cross join.  The band join and
+        # the pair dedup run over NARROW (id, id) rows; vectors — with
+        # their norms computed ONCE per vector, not once per pair —
+        # re-attach afterwards, so the candidate-generation shuffles
+        # never carry 64-double payloads (measured 8.3 s → ~3 s at
+        # sf0.1's 1.3M candidate pairs).
         joined = (
-            eb.select(
-                F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-                "tbl", "bucket",
-            )
+            eb.select(F.col("id").alias("id_a"), "tbl", "bucket")
             .join(
-                eb.select(
-                    F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-                    "tbl", "bucket",
-                ),
+                eb.select(F.col("id").alias("id_b"), "tbl", "bucket"),
                 ["tbl", "bucket"],
             )
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
-    else:
-        a = embeddings.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+        # (id, v, ||v||) — same _norm expression the per-pair cosine
+        # used, evaluated once per vector; identical doubles
+        vecs = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
         )
-        b = embeddings.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+        return (
+            joined.join(
+                vecs.select(
+                    F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                    F.col("nrm").alias("nrm_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                vecs.select(
+                    F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                    F.col("nrm").alias("nrm_b"),
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "cos_sim",
+                F.round(
+                    _dot(F.col("v_a"), F.col("v_b"))
+                    / (F.col("nrm_a") * F.col("nrm_b")),
+                    4,
+                ),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
         )
-        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         joined.withColumn(
             "cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 4)
