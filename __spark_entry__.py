@@ -119,15 +119,20 @@ def _input_fingerprint(path: str) -> str:
     return h.hexdigest()
 
 
-def _stage_cache_dir(sf_dir: str, kind: str) -> str:
+def _stage_cache_dir(
+    sf_dir: str, kind: str, src_name: str = "documents.parquet"
+) -> str:
     """Shared tmp cache location keyed on (kind, sf_dir, input CONTENT
     fingerprint) — stale iff the driver regenerates the testdata, even
-    when regeneration preserves the mtime."""
+    when regeneration preserves the mtime.  ``src_name`` must be the
+    table the stage is BUILT from (the ANN table derives from
+    embeddings.parquet: hashing documents.parquet there would serve a
+    stale cache when only the embeddings change)."""
     import hashlib
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, src_name)
     tag = f"{kind}|{sf_dir}|{_input_fingerprint(src)}"
     return os.path.join(
         tempfile.gettempdir(),
@@ -173,7 +178,7 @@ def _committed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_stage,
     )
 
-    base = _stage_cache_dir(sf_dir, "ann")
+    base = _stage_cache_dir(sf_dir, "ann", src_name="embeddings.parquet")
     if not is_committed(base, "ann"):
         os.makedirs(base, exist_ok=True)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -122,15 +122,20 @@ def _alternating_star(sym: DataFrame, max_iter: int) -> DataFrame:
     """Alternate large-star / small-star until fixpoint → star forest
     (u, v=component min) for every non-root u.  O(log n) rounds.
 
-    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    Raises ``RuntimeError`` if ``max_iter`` WORK rounds pass without
     reaching the fixpoint: a non-converged edge set would silently
     yield WRONG canon_id labels, and with O(log n) convergence the
     default budget (50 rounds ≳ 2^50 nodes) only exhausts on a bug or
-    a pathological input — fail loudly, never mislabel."""
+    a pathological input — fail loudly, never mislabel.  Detecting a
+    fixpoint needs the NEXT round's output to compare against, so the
+    loop runs one extra confirmation round past ``max_iter`` — a graph
+    that converges exactly on round ``max_iter`` (e.g. a single edge
+    with ``max_iter=1``) returns its correct labels rather than
+    spuriously raising."""
     e = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
     prev_cnt = -1
     prev: DataFrame | None = None
-    for _ in range(max_iter):
+    for i in range(max_iter + 1):
         ls = _large_star(e.select(F.col("u").alias("a"), F.col("v").alias("b"))
                          .union(e.select(F.col("v").alias("a"),
                                          F.col("u").alias("b"))))
@@ -142,6 +147,8 @@ def _alternating_star(sym: DataFrame, max_iter: int) -> DataFrame:
             # checkpointed; exceptAll on the small current edge set)
             if new.exceptAll(prev).limit(1).count() == 0:
                 return new
+        if i == max_iter:
+            break  # the extra round was confirmation-only
         prev, prev_cnt, e = new, cnt, new
     raise RuntimeError(
         f"connected_components: alternating-star did not converge in "

@@ -124,6 +124,10 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     row_size = ((bpp * w + 31) // 32) * 4  # rows pad to 4 bytes
     bottom_up = h > 0
     h = abs(h)
+    if len(payload) < data_off + (h - 1) * row_size + w * 3:
+        # same contract as _decode_ppm: a truncated raster must raise,
+        # not silently yield short/garbage rows
+        raise ValueError("truncated BMP raster")
     rows = []
     for r in range(h):
         src = h - 1 - r if bottom_up else r  # top row first in output

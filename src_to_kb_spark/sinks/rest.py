@@ -100,13 +100,18 @@ def sink_documents(
     docs: DataFrame,
     sender_factory: Callable[[], Callable[[dict], Any]],
     build: Callable[[dict], dict] = build_payload,
+    recursive: bool = False,
     **kw,
 ) -> dict:
     """S11/S13 — batched per-partition send; aggregates counters via a
-    small collect of per-partition results."""
+    small collect of per-partition results.  ``recursive`` converts
+    nested Rows (e.g. a chunks array of structs) to plain dicts for the
+    payload builder — the uploader's per-doc send reuses this loop."""
     def _part(it):
         sender = sender_factory()
-        yield send_rows([r.asDict() for r in it], sender, build, **kw)
+        yield send_rows(
+            [r.asDict(recursive=recursive) for r in it], sender, build, **kw
+        )
 
     parts = docs.rdd.mapPartitions(_part).collect()
     return {

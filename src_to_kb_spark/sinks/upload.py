@@ -21,7 +21,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .rest import MAX_PAYLOAD_BYTES, send_rows, validate_sink
+from .rest import MAX_PAYLOAD_BYTES, sink_documents, validate_sink
 
 
 def _doc_payload(row: dict) -> dict:
@@ -43,9 +43,20 @@ def merge_embeddings_into_chunks(
 ) -> DataFrame:
     """upload.js:146-150 — `embeddingMap.get(chunk.id)` as a left
     equi-join on chunk_id; chunks without a vector keep embedding=null
-    (the completeness check downstream decides the doc's fate)."""
+    (the completeness check downstream decides the doc's fate).
+
+    The reference's Map collapses duplicate chunk_id rows to ONE
+    vector (last file-order write wins); a bare join would instead
+    multiply the chunk rows.  There is no "file order" on a
+    distributed table, so the survivor is the deterministic max
+    (arrays compare lexicographically) — one well-defined vector per
+    chunk_id regardless of partitioning."""
     return chunks.join(
-        embeddings.select("chunk_id", "embedding"), "chunk_id", "left"
+        embeddings.groupBy("chunk_id").agg(
+            F.max("embedding").alias("embedding")
+        ),
+        "chunk_id",
+        "left",
     )
 
 
@@ -142,19 +153,23 @@ def upload(
     chunks = chunks if chunks is not None else _empty_chunks(spark)
 
     skipped_incomplete = 0
-    if send_embeddings:
-        merged = merge_embeddings_into_chunks(chunks, embeddings)
-        joined = _docs_with_chunks(doc_cols, merged, with_embedding=True)
-        # skip-with-warning set: no chunks at all, no embeddings, or
-        # partially missing (upload.js:141-158)
-        bad = F.col("chunks").isNull() | (F.col("n_missing") > 0)
-        skipped_incomplete = joined.filter(bad).count()
-        sendable = joined.filter(~bad).withColumn(
-            "content", F.lit(None).cast("string")
+    persisted = None
+    if send_embeddings or send_chunks:
+        src = (
+            merge_embeddings_into_chunks(chunks, embeddings)
+            if send_embeddings else chunks
         )
-    elif send_chunks:
-        joined = _docs_with_chunks(doc_cols, chunks, with_embedding=False)
+        # the collect_list groupBy + doc join is the expensive plan and
+        # both the skip count and the send read it — persist once
+        # instead of recomputing it per action
+        joined = persisted = _docs_with_chunks(
+            doc_cols, src, with_embedding=send_embeddings
+        ).persist()
+        # skip-with-warning set: no chunks at all, no embeddings, or
+        # partially missing (upload.js:141-158 / :169-173)
         bad = F.col("chunks").isNull()
+        if send_embeddings:
+            bad = bad | (F.col("n_missing") > 0)
         skipped_incomplete = joined.filter(bad).count()
         sendable = joined.filter(~bad).withColumn(
             "content", F.lit(None).cast("string")
@@ -180,27 +195,21 @@ def upload(
         )
 
     rows = sendable.drop("text", "n_chunks", "n_missing")
-
-    def _part(it):
-        sender = sender_factory()
-        yield send_rows(
-            [r.asDict(recursive=True) for r in it],
-            sender,
-            build=_doc_payload,
-            size_gate=size_gate,
-            **send_kw,
-        )
-
-    parts = rows.rdd.mapPartitions(_part).collect()
-    out = {
+    counters = sink_documents(
+        rows, sender_factory, build=_doc_payload, recursive=True,
+        size_gate=size_gate, **send_kw,
+    )
+    if persisted is not None:
+        persisted.unpersist()
+    # total = every doc row: joined is one row per document (sendable
+    # rows all pass through the sink's counters) — no extra scan
+    return {
         "mode": mode,
-        "sent": sum(p["sent"] for p in parts),
-        "failed": sum(p["failed"] for p in parts),
-        "skipped_oversize": sum(p["skipped_oversize"] for p in parts),
+        **counters,
         "skipped_incomplete": skipped_incomplete,
-        "total": documents.count(),
+        "total": counters["sent"] + counters["failed"]
+        + counters["skipped_oversize"] + skipped_incomplete,
     }
-    return out
 
 
 def _empty_chunks(spark: SparkSession) -> DataFrame:

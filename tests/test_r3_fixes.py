@@ -20,12 +20,22 @@ def test_alternating_star_raises_on_exhaustion(spark):
         [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(30)],
         "key_a string, key_b string",
     )
-    # max_iter=1 cannot even confirm convergence (needs two equal rounds)
+    # a 31-node path cannot converge in one work round
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, driver_threshold=None, max_iter=1)
     # and a sane budget still labels the same graph correctly
     out = connected_components(pairs, driver_threshold=None, max_iter=50)
     assert out.filter(F.col("canon_id") != "n000").count() == 0
+    # but a graph that converges exactly ON round max_iter must return
+    # its (correct) labels, not raise: detection gets one extra
+    # confirmation round past the work budget
+    one_edge = spark.createDataFrame(
+        [("a", "b")], "key_a string, key_b string"
+    )
+    lbl = connected_components(one_edge, driver_threshold=None, max_iter=1)
+    assert {(r["key"], r["canon_id"]) for r in lbl.collect()} == {
+        ("a", "a"), ("b", "a"),
+    }
 
 
 def test_ann_udfs_survive_empty_batches(spark):
@@ -176,6 +186,18 @@ def test_multimodal_real_decode_stdlib_codecs(spark):
         extract_media_features(jpeg, decode="real").collect()
 
 
+def test_bmp_truncated_raster_raises():
+    """A truncated BMP must raise like the PPM decoder does, not
+    silently decode short/garbage rows."""
+    import pytest as _pytest
+
+    from src_to_kb_spark.operators.multimodal import _decode_bmp
+
+    bmp = _bmp_bytes()
+    with _pytest.raises(ValueError, match="truncated BMP raster"):
+        _decode_bmp(bmp[: len(bmp) - 9])  # drop part of the last rows
+
+
 def test_search_chunks_mcp_divergences(spark):
     """The MCP embedded search must show all three documented
     divergences from search.js: no \\W snippet strips, no snippet
@@ -248,3 +270,32 @@ def test_stage_cache_key_is_content_not_mtime(tmp_path):
     # design (size+edges is the documented trade) — size changes aren't:
     part.write_bytes(big + b"x")
     assert entry._stage_cache_dir(str(sf), "chunks") != d3
+
+
+def test_ann_cache_keys_on_embeddings_not_documents(tmp_path):
+    """The ANN table is BUILT from embeddings.parquet, so its cache key
+    must track that file: a changed embeddings table with an unchanged
+    documents table must re-key (was: stale committed ANN served against
+    fresh query vectors), and vice versa a documents-only change must
+    NOT invalidate the ANN cache."""
+    import __spark_entry__ as entry
+
+    sf = tmp_path / "sf"
+    for name in ("documents.parquet", "embeddings.parquet"):
+        os.makedirs(sf / name)
+        (sf / name / "part-0.parquet").write_bytes(b"v1-" + name.encode())
+
+    ann1 = entry._stage_cache_dir(str(sf), "ann", src_name="embeddings.parquet")
+    chunks1 = entry._stage_cache_dir(str(sf), "chunks")
+
+    (sf / "embeddings.parquet" / "part-0.parquet").write_bytes(b"v2-emb")
+    ann2 = entry._stage_cache_dir(str(sf), "ann", src_name="embeddings.parquet")
+    assert ann1 != ann2
+    assert entry._stage_cache_dir(str(sf), "chunks") == chunks1
+
+    (sf / "documents.parquet" / "part-0.parquet").write_bytes(b"v2-docs")
+    assert (
+        entry._stage_cache_dir(str(sf), "ann", src_name="embeddings.parquet")
+        == ann2
+    )
+    assert entry._stage_cache_dir(str(sf), "chunks") != chunks1

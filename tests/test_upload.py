@@ -177,3 +177,32 @@ def test_upload_retry_and_fail_fast(spark, kb):
     # and the preflight itself fails fast driver-side
     with pytest.raises(AuthError):
         upload(spark, docs, chunks, None, lambda: Auth(), validate=True)
+
+
+def test_upload_duplicate_embedding_rows_collapse(spark, kb, tmp_path):
+    """upload.js:146-150 builds a Map, so duplicate chunk_id embedding
+    rows collapse to ONE vector per chunk — a bare join would instead
+    multiply the chunk rows inside the payload.  Survivor is the
+    deterministic lexicographic max (no file order on a distributed
+    table)."""
+    docs, chunks, emb, _ = kb
+    dup = emb.withColumn(
+        "embedding", F.array(F.lit(0.05))  # lexicographically smaller
+    )
+    out = str(tmp_path / "sent")
+    __import__("os").makedirs(out)
+    res = upload(
+        spark, docs, chunks, emb.union(dup), lambda: Collector(out),
+        send_embeddings=True, validate=False, retry_delay=0.0,
+    )
+    n_chunks = {
+        r["doc_uid"]: r["n"]
+        for r in chunks.groupBy("doc_uid").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    payloads = Collector.read(out)
+    assert res["sent"] == len(payloads) > 0
+    for p in payloads:
+        # exactly one entry per chunk, carrying the max survivor
+        assert len(p["chunks"]) == n_chunks[p["id"]]
+        assert all(c["embedding"] == [0.1, 0.2] for c in p["chunks"])
