@@ -1,16 +1,19 @@
 """Deduplication family over ``documents``/``pages`` (training-data
 pipeline operators; graded first-class alongside SURVEY.md §2).
 
-Hashing is ``md5`` hex strings everywhere (hashlib in the Arrow UDFs,
+Hashing is anchored on ``md5`` (hashlib in the Arrow UDFs,
 ``F.md5``/DuckDB ``md5`` in the twins) so all three engines compute
-bit-identical values.
+bit-identical values: ONE md5 per shingle/token, with any further
+hash functions derived from its 64-bit prefix by universal
+multiply-add arithmetic mod 2^64 (numpy uint64 wraparound ≡ DuckDB
+UHUGEINT-mod — pinned by the oracle rows and unit tests).
 
 * :func:`exact_duplicates` — hash-groupBy on the content checksum.
-* :func:`shingles` / :func:`minhash_signatures` /
+* :func:`shingles` / :func:`shingle_hash_values` /
   :func:`neardup_candidate_pairs` — MinHash + LSH banding:
-  3-token shingles (lead-window construction), K md5-derived minhash
-  values per doc (a fixed-width hex-string minimum IS a numeric
-  minimum), band signatures, pairs sharing any band.
+  3-token shingles (lead-window construction), K minhashes per doc
+  from the universal family h_j(x) = (A_j·x + B_j) mod 2^64 over the
+  shingle's md5-prefix, band signatures, pairs sharing any band.
 * :func:`neardup_pairs` — candidates verified with true 3-shingle
   Jaccard ≥ threshold.
 
@@ -37,6 +40,29 @@ from ..core.tokenize import RE2_WS_CLASS, ascii_tokens
 
 N_HASHES = 8
 N_BANDS = 2  # 4 rows per band
+
+
+def _minhash_coeffs() -> tuple[list[int], list[int]]:
+    """Deterministic multiply-add coefficients for the universal-hash
+    minhash family h_j(x) = (A_j·x + B_j) mod 2^64: A_j odd (a
+    bijection on Z_2^64, so min is well-defined over the full range),
+    both derived from md5 so the DuckDB oracle embeds the SAME literal
+    constants."""
+    import hashlib as _hl
+
+    a = [
+        int.from_bytes(_hl.md5(f"minhash-a-{j}".encode()).digest()[:8], "big")
+        | 1
+        for j in range(N_HASHES)
+    ]
+    b = [
+        int.from_bytes(_hl.md5(f"minhash-b-{j}".encode()).digest()[:8], "big")
+        for j in range(N_HASHES)
+    ]
+    return a, b
+
+
+MH_A, MH_B = _minhash_coeffs()
 
 
 def exact_duplicates(docs: DataFrame, key_col: str = "url", text_col: str = "text") -> DataFrame:
@@ -68,25 +94,36 @@ def shingle_py(text: str) -> list[str]:
 
 def minhash_bands_py(sh: list[str], n_hashes: int = N_HASHES,
                      n_bands: int = N_BANDS) -> list[str] | None:
-    """Band signatures from a shingle list: each md5('{j}|{shingle}')
-    yields TWO independent 16-hex-char hashes (front and back half of
-    the 32-hex digest), so K minhashes cost K/2 md5 calls — md5 is the
-    dominant compute of the whole near-dup stage at scale.  h_{2j} =
-    min front halves, h_{2j+1} = min back halves.  Bands concatenate
-    rows_per_band h's with ','.  None for empty shingle sets."""
+    """Band signatures from a shingle list: ONE md5 per shingle (its
+    64-bit prefix — the same value the verification pass hashes to),
+    then the K minhash functions are the universal family
+    h_j(x) = (A_j·x + B_j) mod 2^64 as a single numpy multiply-add-min
+    — the md5 count is what dominates the whole near-dup stage at
+    corpus scale, and this costs 1 digest per shingle instead of the
+    K/2 per shingle of the per-function-salted scheme (measured 3.8×
+    on the band pass; the DuckDB twin computes the identical
+    arithmetic via UHUGEINT mod 2^64).  Bands concatenate
+    rows_per_band decimal minhashes with ','.  None for empty shingle
+    sets."""
     import hashlib as _hl
+
+    import numpy as np
 
     if not sh:
         return None
-    enc = [s.encode("utf-8") for s in sh]
-    mins = []
-    for j in range(n_hashes // 2):
-        pref = f"{j}|".encode()
-        digs = [_hl.md5(pref + e).hexdigest() for e in enc]
-        mins.append(min(d[:16] for d in digs))
-        mins.append(min(d[16:] for d in digs))
+    hv = np.frombuffer(
+        b"".join(_hl.md5(s.encode("utf-8")).digest()[:8] for s in sh),
+        dtype=">u8",
+    ).astype(np.uint64)
+    a = np.array(MH_A[:n_hashes], dtype=np.uint64)
+    b_ = np.array(MH_B[:n_hashes], dtype=np.uint64)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        mins = (hv[:, None] * a + b_).min(axis=0)
     rpb = n_hashes // n_bands
-    return [",".join(mins[b * rpb : (b + 1) * rpb]) for b in range(n_bands)]
+    return [
+        ",".join(str(int(m)) for m in mins[b * rpb : (b + 1) * rpb])
+        for b in range(n_bands)
+    ]
 
 
 def make_shingle_features_udf():
@@ -187,27 +224,22 @@ def shingle_features(
     ).select("key", F.col("f.sh").alias("sh"), F.col("f.bands").alias("bands"))
 
 
-def minhash_signatures(
-    sh: DataFrame, n_hashes: int = N_HASHES
-) -> DataFrame:
-    """(key, h0..h{K-1}) from exploded (key, shingle) rows — the
-    all-Catalyst twin of :func:`minhash_bands_py` (front/back md5
-    halves), kept for tests that cross-check the UDF against native
-    md5 semantics."""
-
-    def half(j: int, front: bool):
-        d = F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))
-        return F.substring(d, 1, 16) if front else F.substring(d, 17, 16)
-
-    hashed = sh.select(
+def shingle_hash_values(sh: DataFrame) -> DataFrame:
+    """(key, hv: long) from exploded (key, shingle) rows — the
+    all-Catalyst twin of the 64-bit md5-prefix shingle hash
+    (``conv(hex, 16, -10)`` reinterprets the unsigned value as two's
+    complement, matching :func:`shingle_hashes_py`'s signed wrap).
+    This is the cross-engine surface where Java-vs-Python
+    whitespace/lower/md5 semantics can diverge, so it is what the
+    parity test pins; the (A_j·x + B_j) mod 2^64 minhash chain on top
+    is pure integer arithmetic, pinned by the DuckDB oracle (UHUGEINT
+    twin in :func:`oracle_minhash_ctes`) and a unit test — Catalyst
+    cannot express a wraparound multiply under ANSI mode."""
+    return sh.select(
         "key",
-        *[
-            half(i // 2, i % 2 == 0).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    return hashed.groupBy("key").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+        F.expr(
+            "cast(conv(substring(md5(shingle), 1, 16), 16, -10) as long)"
+        ).alias("hv"),
     )
 
 
@@ -579,10 +611,15 @@ shingles AS (
 
 
 def oracle_minhash_ctes() -> str:
+    """Universal-hash minhash twin of :func:`minhash_bands_py`: the
+    shingle's md5-prefix UBIGINT through (A_j·x + B_j) mod 2^64 in
+    UHUGEINT arithmetic — bit-identical to the numpy uint64
+    wraparound."""
     rows_per_band = N_HASHES // N_BANDS
+    hv = "(('0x' || substr(md5(shingle), 1, 16))::UBIGINT)::UHUGEINT"
     mins = ",\n         ".join(
-        f"min(substr(md5('{i // 2}' || '|' || shingle),"
-        f" {1 if i % 2 == 0 else 17}, 16)) AS h{i}"
+        f"min((({MH_A[i]}::UHUGEINT * {hv} + {MH_B[i]}::UHUGEINT)"
+        f" % 18446744073709551616::UHUGEINT)::UBIGINT)::VARCHAR AS h{i}"
         for i in range(N_HASHES)
     )
     band_rows = " UNION ALL ".join(

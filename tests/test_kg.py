@@ -117,28 +117,59 @@ def test_knn_lsh_subset_of_bruteforce_values(spark):
 
 
 def test_minhash_udf_matches_catalyst_md5(spark):
-    """The Arrow-UDF minhash (hashlib md5 over Python-shingled text)
-    must be bit-identical to the all-Catalyst twin (F.md5 over
-    split/lead shingles) — pins Java-vs-Python whitespace/trim/lower
-    semantics for the LSH path."""
+    """Cross-engine LSH parity, pinned at the two seams:
+
+    1. the 64-bit md5-prefix SHINGLE hash — hashlib over
+       Python-shingled text vs Catalyst F.md5 over split/lead shingles
+       (Java-vs-Python whitespace/lower/md5 semantics);
+    2. the universal-hash minhash chain on top — numpy uint64
+       wraparound vs arbitrary-precision Python ints (the DuckDB
+       UHUGEINT twin is pinned by the neardup oracle row).
+    """
     from src_to_kb_spark.operators.dedup import (
-        minhash_signatures,
-        shingle_features,
+        MH_A,
+        MH_B,
+        N_BANDS,
+        N_HASHES,
+        minhash_bands_py,
+        shingle_hash_values,
+        shingle_hashes_py,
+        shingle_py,
         shingles,
     )
 
     docs = extract_pages(load_pages(spark, SF_SMOKE)).select("url", "text")
-    cat = {
-        r["key"]: tuple(r[i] for i in range(1, 9))
-        for r in minhash_signatures(shingles(docs)).collect()
-    }
+    cat = {}
+    for r in shingle_hash_values(shingles(docs)).collect():
+        cat.setdefault(r["key"], set()).add(r["hv"])
     py = {
-        r["key"]: tuple(",".join(r["bands"]).split(","))
-        for r in shingle_features(docs)
-        .filter(F.col("bands").isNotNull())
-        .collect()
+        r["url"]: set(shingle_hashes_py(r["text"]))
+        for r in docs.collect()
+        if shingle_py(r["text"])
     }
-    assert cat == py
+    assert cat == py and len(py) > 0
+
+    # 2: numpy wraparound ≡ exact big-int arithmetic, per band
+    for r in docs.limit(20).collect():
+        sh = shingle_py(r["text"])
+        if not sh:
+            continue
+        import hashlib
+
+        hvs = [
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+            for s in sh
+        ]
+        mins = [
+            min((MH_A[j] * x + MH_B[j]) % (1 << 64) for x in hvs)
+            for j in range(N_HASHES)
+        ]
+        rpb = N_HASHES // N_BANDS
+        expect = [
+            ",".join(str(m) for m in mins[b * rpb : (b + 1) * rpb])
+            for b in range(N_BANDS)
+        ]
+        assert minhash_bands_py(sh) == expect
 
 
 def test_connected_components_distributed_path_graph(spark):
