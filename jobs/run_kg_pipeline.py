@@ -214,6 +214,21 @@ def main(argv: list[str] | None = None) -> dict:
         )
 
     def mk_components():
+        from src_to_kb_spark.operators.dedup import BANDS_SCHEME
+
+        # Committed bands are only delta-joinable against bands of the
+        # SAME signature scheme: a KB written by an older scheme would
+        # otherwise band-join with zero collisions and silently miss
+        # every cross-version near-dup pair.  Compare the recorded tag
+        # and rebuild the near-dup family on mismatch.
+        scheme_path = os.path.join(args.output, "_scheme_bands")
+        prev_scheme = None
+        if os.path.exists(scheme_path):
+            with open(scheme_path) as f:
+                prev_scheme = f.read().strip()
+        if is_committed(args.output, "bands") and prev_scheme != BANDS_SCHEME:
+            invalidate(("bands", "neardup_pairs", "components", "triples"))
+
         # bands stage table: 2 short strings per doc — per-document, so
         # it delta-appends like chunks/linked
         bands = stage(
@@ -221,6 +236,8 @@ def main(argv: list[str] | None = None) -> dict:
             lambda: band_signature_rows(documents),
             make_delta=band_signature_rows,
         )
+        with open(scheme_path, "w") as f:
+            f.write(BANDS_SCHEME)
         if not is_committed(args.output, "neardup_pairs"):
             write_stage(
                 verify_candidate_pairs(

@@ -64,6 +64,12 @@ def _minhash_coeffs() -> tuple[list[int], list[int]]:
 
 MH_A, MH_B = _minhash_coeffs()
 
+# Version tag of the band-signature scheme.  Committed band stage
+# tables are only delta-joinable against bands of the SAME scheme —
+# resume logic compares this tag and recomputes the near-dup family
+# when it changed (silently joining across schemes would miss pairs).
+BANDS_SCHEME = f"mh-uh1-k{N_HASHES}b{N_BANDS}"
+
 
 def exact_duplicates(docs: DataFrame, key_col: str = "url", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical content: (checksum, n_docs, keys) for

@@ -236,3 +236,34 @@ def test_job_recovers_from_mid_reconcile_crash(spark, tmp_path):
     assert s2["documents"] == 500 == s3["documents"]
     assert s2["triples"] == s3["triples"]
     assert _triple_set(spark, out) == _triple_set(spark, out_ref)
+
+
+def test_job_rebuilds_neardup_on_bands_scheme_change(spark, tmp_path):
+    """A KB whose committed bands table was written by a DIFFERENT
+    band-signature scheme must rebuild the near-dup family on resume:
+    delta bands would band-join old-scheme rows with zero collisions
+    and silently miss every cross-version pair."""
+    src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    inp = str(tmp_path / "in")
+    src.filter("doc_id < 300").write.parquet(f"{inp}/documents.parquet")
+    out = str(tmp_path / "kb")
+    main(["--input", inp, "--output", out])
+
+    from src_to_kb_spark.operators.dedup import BANDS_SCHEME
+
+    scheme_path = os.path.join(out, "_scheme_bands")
+    assert open(scheme_path).read() == BANDS_SCHEME
+
+    # simulate a KB written under an older scheme, then grow the input
+    with open(scheme_path, "w") as f:
+        f.write("mh-legacy-halves")
+    bands_mtime = os.path.getmtime(os.path.join(out, "_committed_bands"))
+    src.write.mode("overwrite").parquet(f"{inp}/documents.parquet")
+    s2 = main(["--input", inp, "--output", out])
+    assert open(scheme_path).read() == BANDS_SCHEME
+    assert os.path.getmtime(os.path.join(out, "_committed_bands")) > bands_mtime
+
+    out_ref = str(tmp_path / "kb_ref")
+    s3 = main(["--input", inp, "--output", out_ref])
+    assert s2["triples"] == s3["triples"]
+    assert _triple_set(spark, out) == _triple_set(spark, out_ref)
