@@ -163,6 +163,58 @@ def make_bands_udf():
     return bands_udf
 
 
+def band_hash_features_py(text: str) -> tuple[list[str] | None, list[int] | None]:
+    """(bands, hv) from ONE digest pass: the per-shingle 64-bit md5
+    prefixes feed BOTH the universal-hash minhash bands (≡
+    :func:`minhash_bands_py`) and the sorted-distinct signed hash set
+    (≡ :func:`shingle_hashes_py`) — parity with both is pytest-pinned."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    sh = shingle_py(text)
+    if not sh:
+        return None, None
+    dig = np.frombuffer(
+        b"".join(_hl.md5(s.encode("utf-8")).digest()[:8] for s in sh),
+        dtype=">u8",
+    ).astype(np.uint64)
+    a = np.array(MH_A, dtype=np.uint64)
+    b_ = np.array(MH_B, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        mins = (dig[:, None] * a + b_).min(axis=0)
+    rpb = N_HASHES // N_BANDS
+    bands = [
+        ",".join(str(int(m)) for m in mins[b * rpb : (b + 1) * rpb])
+        for b in range(N_BANDS)
+    ]
+    # two's-complement reinterpretation + sorted distinct = the exact
+    # shingle_hashes_py contract (np.unique also collapses the
+    # astronomically-rare 64-bit collision, like its set() does)
+    hv = np.unique(dig.astype(np.int64))
+    return bands, [int(v) for v in hv]
+
+
+def make_band_hash_udf():
+    """pandas UDF: text -> struct(bands: array<string>,
+    hv: array<long>) — the FUSED near-dup feature pass.  Banding
+    already md5-hashes every shingle; on dup-heavy corpora most docs
+    are candidate members (93% on the 1M-doc scale corpus), so
+    re-tokenizing + re-hashing them in the verify pass nearly doubles
+    the stage's dominant compute.  Emitting the hash set alongside the
+    bands trades ~2 kB/doc of Arrow/stage-table width for skipping
+    that second pass entirely (the hv column is exactly what the
+    verify join consumes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<bands: array<string>, hv: array<long>>")
+    def bf_udf(text: pd.Series) -> pd.DataFrame:
+        feats = [band_hash_features_py(t or "") for t in text]
+        return pd.DataFrame(feats, columns=["bands", "hv"])
+
+    return bf_udf
+
+
 def make_shingle_set_udf():
     """pandas UDF: text -> array<string> distinct 3-shingles — run only
     over candidate-pair members during verification."""
@@ -360,20 +412,31 @@ def verify_candidate_pairs(
     division + rounding stay in Catalyst so cross-engine rounding
     semantics (HALF_UP) match the DuckDB oracle."""
     cands = cands.localCheckpoint(eager=False)
-    cand_keys = (
-        cands.select(F.col("key_a").alias("key"))
-        .union(cands.select(F.col("key_b").alias("key")))
-        .distinct()
-    )
     shh_udf = make_shingle_hash_udf()
     # two consumers (a/b sides of the verify join) — cache so the
     # shingle-hash UDF runs once over the candidate members
     cand_sets = (
         docs.select(F.col(key_col).alias("key"), F.col(text_col).alias("_t"))
-        .join(cand_keys, "key", "left_semi")
+        .join(_cand_keys(cands), "key", "left_semi")
         .select("key", shh_udf(F.col("_t")).alias("sh"))
         .cache()
     )
+    return _verify_with_sets(cands, cand_sets, threshold)
+
+
+def _cand_keys(cands: DataFrame) -> DataFrame:
+    return (
+        cands.select(F.col("key_a").alias("key"))
+        .union(cands.select(F.col("key_b").alias("key")))
+        .distinct()
+    )
+
+
+def _verify_with_sets(
+    cands: DataFrame, cand_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification tail over precomputed (key, sh)
+    sorted-int64 hash sets."""
     n_common_udf = make_intersection_udf()
     sets_a = cand_sets.select(
         F.col("key").alias("key_a"), F.col("sh").alias("sh_a")
@@ -409,27 +472,38 @@ def neardup_pairs(
     → (key_a, key_b, jaccard) with jaccard rounded to 6 dp for stable
     cross-engine comparison.
 
-    Plan shape: pass 1 (Arrow UDF) computes ONLY band signatures — two
-    short strings per doc through Arrow, localCheckpointed (the local
-    proxy for the stage writing its own table at cluster scale); the
-    band self-join produces the (small) candidate set; pass 2
-    (:func:`verify_candidate_pairs`) touches candidate members only —
-    the full corpus's shingle sets are never materialized or shuffled.
+    Plan shape: ONE fused Arrow pass (:func:`make_band_hash_udf`)
+    computes the band signatures AND the sorted-int64 shingle-hash set
+    from a single per-shingle digest sweep, localCheckpointed (the
+    local proxy for the stage writing its own table at cluster scale);
+    the band self-join produces the (small) candidate set; the verify
+    join then reads the hv column for candidate members instead of
+    re-tokenizing + re-hashing them — on dup-heavy corpora the members
+    are MOST of the corpus (93% on the 1M-doc scale corpus), so the
+    second text pass nearly doubled the stage's dominant md5 compute.
+    The hash column costs ~2 kB/doc of checkpoint width — the explicit
+    space-for-compute trade; the shuffles after candidate generation
+    still move only pair ids + the members' hash arrays.
 
-    Both checkpoints are LAZY: they still truncate lineage (the plan
-    downstream reads a checkpointed RDD scan) but materialize inside
+    The checkpoint is LAZY: it still truncates lineage (the plan
+    downstream reads a checkpointed RDD scan) but materializes inside
     the first consuming job instead of adding an eager driver barrier
-    each — two fewer serial jobs per pipeline run, which matters for
-    the north-rule scaling efficiency where barriered driver time is
-    the fixed cost that does not shrink with executors.
+    — fewer serial jobs per pipeline run, which matters for the
+    north-rule scaling efficiency where barriered driver time is the
+    fixed cost that does not shrink with executors.
     """
-    bands_udf = make_bands_udf()
-    bands_df = docs.select(
+    bf_udf = make_band_hash_udf()
+    feats = docs.select(
         F.col(key_col).alias("key"),
-        bands_udf(F.col(text_col)).alias("bands"),
+        bf_udf(F.col(text_col)).alias("f"),
     ).localCheckpoint(eager=False)
-    cands = _band_pairs(_band_rows(bands_df))
-    return verify_candidate_pairs(docs, cands, key_col, text_col, threshold)
+    bands_df = feats.select("key", F.col("f.bands").alias("bands"))
+    cands = _band_pairs(_band_rows(bands_df)).localCheckpoint(eager=False)
+    cand_sets = (
+        feats.select("key", F.col("f.hv").alias("sh"))
+        .join(_cand_keys(cands), "key", "left_semi")
+    )
+    return _verify_with_sets(cands, cand_sets, threshold)
 
 
 # --------------------------- SimHash ---------------------------------------
