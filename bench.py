@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "embedding_neardup",
     "streaming_dedup",
+    "streaming_window_rate",
+    "multimodal_features",
     "knn_cosine",
     "knn_lsh",
     "knn_ivf",
@@ -56,6 +58,7 @@ BENCH_QUERIES = [
 STAGE_BACKED = [
     "search_chunks_kb",
     "streaming_dedup",
+    "streaming_window_rate",
     "knn_lsh_kb",
     "knn_ivf_kb",
 ]

@@ -221,6 +221,93 @@ def sample_frames(
     return media.mapInPandas(_fn, schema)
 
 
+def _encode_wav(data: bytes) -> bytes:
+    """data bytes → mono 16-bit 8 kHz PCM WAV (one sample per byte)."""
+    import io
+    import wave
+
+    arr = np.frombuffer(data or b"\0", dtype=np.uint8).astype(np.int32)
+    pcm = ((arr - 128) * 256).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _encode_ppm(data: bytes, w: int = 16, h: int = 16) -> bytes:
+    """data bytes → binary P6 PPM raster (tiled to w*h*3 bytes)."""
+    need = w * h * 3
+    data = data or b"\0"
+    raster = (data * (need // len(data) + 1))[:need]
+    return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+
+def _encode_bmp(data: bytes, w: int = 16, h: int = 4) -> bytes:
+    """data bytes → uncompressed 24-bpp bottom-up BMP (tiled raster)."""
+    import struct
+
+    row = ((24 * w + 31) // 32) * 4
+    need = row * h
+    data = data or b"\0"
+    raster = (data * (need // len(data) + 1))[:need]
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + need, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, need, 2835, 2835, 0, 0
+    )
+    return header + raster
+
+
+def media_from_pages(pages: DataFrame, max_bytes: int = 2048) -> DataFrame:
+    """Derive a deterministic ``media`` table from the ``pages`` corpus:
+    each page's first ``max_bytes`` text bytes become a REAL container
+    payload — WAV / PPM / BMP cycling on a stable hash of the url — so
+    the stdlib ``decode=\"real\"`` path runs end-to-end on
+    driver-shaped input (no image/audio libs needed).  Map-only
+    mapInPandas; partitioning preserved from the pages scan."""
+    encoders = [
+        ("audio", "pcm", _encode_wav),
+        ("image", "ppm", _encode_ppm),
+        ("image", "bmp", _encode_bmp),
+    ]
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, payloads, metas = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                pick = int.from_bytes(
+                    hashlib.md5(url.encode()).digest()[:2], "big"
+                ) % len(encoders)
+                kind, codec, enc = encoders[pick]
+                payload = enc((text or "").encode("utf-8")[:max_bytes])
+                kinds.append(kind)
+                payloads.append(payload)
+                metas.append(
+                    {
+                        "width": 16 if kind == "image" else None,
+                        "height": (16 if codec == "ppm" else 4)
+                        if kind == "image"
+                        else None,
+                        "sample_rate": 8000 if kind == "audio" else None,
+                        "duration_ms": None,
+                        "codec": codec,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "kind": kinds,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return pages.select("url", "text").mapInPandas(_fn, MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 24, seed: int = 42):
     """Deterministic media fixture rows."""
     import random

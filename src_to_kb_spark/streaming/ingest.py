@@ -51,6 +51,37 @@ def ingest_rate(docs: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def run_window_rate_once(
+    spark: SparkSession,
+    input_dir: str,
+    query_name: str,
+    window: str = "1 minute",
+) -> None:
+    """Drain the backlog through the WINDOWED ingest-rate aggregate
+    into an in-memory sink named ``query_name`` (read it back with
+    ``spark.table(query_name)``).
+
+    Complete output mode: every window is (re)emitted on the final
+    micro-batch, so a finite ``availableNow`` drain yields exactly the
+    batch-equivalent aggregate — the property the oracle twin checks.
+    (Append mode + the 1-day watermark would hold back every window
+    newer than ``max(warc_ts) - 1 day``, i.e. emit nothing on a 24-h
+    corpus; in production the same query runs append-mode against a
+    continuous source where the watermark advances past each window.)
+    State is hash-partitioned on (window, lang) — bounded by
+    #windows × #langs rows, never by corpus size."""
+    pages = stream_pages(spark, input_dir)
+    agg = ingest_rate(stream_documents(pages), window)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_ingest_once(
     spark: SparkSession,
     input_dir: str,
