@@ -64,6 +64,16 @@ def test_media_from_pages_real_decode_end_to_end(spark):
     )
 
 
+def test_multimodal_pipeline_is_map_only(spark):
+    """100 TB contract: encode → decode → feature-extract is one fused
+    map pass — no Exchange anywhere in the physical plan, so the job
+    scales with input splits and never shuffles payload bytes."""
+    pages = synthetic_pages(spark, n=12)
+    feats = extract_media_features(media_from_pages(pages), decode="real")
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_window_rate_drain_equals_batch(spark, tmp_path):
     from src_to_kb_spark.operators.extract import extract_pages
     from src_to_kb_spark.streaming.ingest import run_window_rate_once
