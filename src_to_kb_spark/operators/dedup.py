@@ -639,6 +639,10 @@ def simhash_neardup_pairs(
             )
         ).alias("b"),
     ).select("key", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    # lazy checkpoint: the self-join's two sides share ONE simhash
+    # Arrow pass (and one upstream extract) instead of recomputing the
+    # whole lineage per side — same move as embedding_neardup_pairs
+    blocks = blocks.localCheckpoint(eager=False)
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (
         a.join(

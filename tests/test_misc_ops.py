@@ -287,6 +287,27 @@ def test_embedding_neardup_bucketed_recall(spark):
     assert recall >= 0.7, recall
 
 
+def test_embedding_neardup_matmul_equals_join_rerank(spark):
+    """The registered per-bucket matmul rerank and the join/HOF rerank
+    must emit identical (pair, 4-dp cosine) sets — same buckets, same
+    arithmetic modulo float64 summation order."""
+    from src_to_kb_spark.operators.similarity import embedding_neardup_pairs
+
+    from .conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    kw = dict(threshold=0.4, bucketed=True, n_bits=3, n_tables=8, dim=64)
+    matmul = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_neardup_pairs(emb, rerank="matmul", **kw).collect()
+    }
+    join = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_neardup_pairs(emb, rerank="join", **kw).collect()
+    }
+    assert matmul == join and matmul
+
+
 def test_external_search_fallback_semantics():
     """search.js:82-128 routing: response-shape mapping, fallback on
     remote failure, fail-fast on validation error, cached validation."""
