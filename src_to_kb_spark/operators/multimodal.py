@@ -167,8 +167,21 @@ def extract_media_features(
     Batch shape: whole Arrow batches in, one output row per input row;
     the decoder runs per element but all orchestration is vectorized.
     Map-only — partitioning preserved from the scan.
+
+    The feature vector is ALWAYS exactly ``dim`` long (zero-padded when
+    the decoded signal is shorter than ``2*(dim-1)`` samples): a
+    payload-length-dependent output width would make every downstream
+    ``element_at(feature, i)`` an ANSI INVALID_ARRAY_INDEX crash on a
+    short/empty input row, and a schema that varies with data is the
+    wrong contract for a 100 TB table anyway.
     """
     decoder = _fake_decode if decode == "fake" else _real_decode
+
+    def _fixed_dim(spec: np.ndarray) -> list:
+        out = np.zeros(dim, dtype=np.float32)
+        n = min(dim, spec.shape[0])
+        out[:n] = spec[:n]
+        return out.tolist()
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -177,7 +190,7 @@ def extract_media_features(
                 for b, k in zip(pdf["payload"], pdf["kind"])
             ]
             feats = [
-                np.abs(np.fft.rfft(s))[:dim].astype(np.float32).tolist()
+                _fixed_dim(np.abs(np.fft.rfft(s if s.size else np.zeros(1))))
                 for s in signals
             ]
             yield pd.DataFrame(

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Per-stage wall profile of the pipeline_triples query at a given sf.
+
+Decomposes the full-pipeline noop-sink wall into stage walls by timing
+each stage's own noop sink in dependency order (extract persisted
+first, like run_pipeline does).  Two reps, min, same discipline as
+bench.py.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from src_to_kb_spark.operators.canonicalize import connected_components
+    from src_to_kb_spark.operators.chunker import chunk_documents
+    from src_to_kb_spark.operators.dedup import neardup_pairs
+    from src_to_kb_spark.operators.extract import extract_pages
+    from src_to_kb_spark.operators.linking import link_mentions
+    from src_to_kb_spark.operators.mentions import detect_mentions
+    from src_to_kb_spark.operators.triples import (
+        build_triples, chunk_triples, doc_triples, mention_triples,
+        same_as_triples,
+    )
+    from src_to_kb_spark.pipeline import run_pipeline
+    from src_to_kb_spark.session import get_spark
+    from src_to_kb_spark.sources.gazetteer import gazetteer_df
+    from src_to_kb_spark.sources.pages import load_pages
+    from src_to_kb_spark.runtime.skew import salted_repartition
+
+    spark = get_spark("profile", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up identical to bench.py
+    noop(extract_pages(load_pages(spark, SF_DIR)))
+
+    # full query wall (what bench times), 2 reps min
+    full = []
+    for _ in range(2):
+        t0 = time.time()
+        r = run_pipeline(spark, load_pages(spark, SF_DIR), neardup_threshold=0.6)
+        noop(r.triples)
+        full.append(time.time() - t0)
+        r.documents.unpersist()
+
+    # per-stage decomposition, 2 reps min each
+    def timed(fn):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    stages = {}
+    pages = salted_repartition(
+        load_pages(spark, SF_DIR),
+        n_partitions=spark.sparkContext.defaultParallelism,
+    )
+    gaz = gazetteer_df(spark)
+
+    docs = extract_pages(pages).persist()
+    stages["extract_persist"] = timed(lambda: docs.count())
+    stages["chunks"] = timed(lambda: noop(chunk_documents(docs)))
+    stages["mentions"] = timed(lambda: noop(detect_mentions(docs, gaz)))
+    stages["linked"] = timed(
+        lambda: noop(link_mentions(detect_mentions(docs, gaz), gaz))
+    )
+    pairs_df = neardup_pairs(docs, threshold=0.6)
+    stages["neardup_pairs"] = timed(lambda: noop(pairs_df))
+    pairs = neardup_pairs(docs, threshold=0.6).persist()
+    pairs.count()
+    stages["components_from_cached_pairs"] = timed(
+        lambda: noop(connected_components(pairs))
+    )
+    linked = link_mentions(detect_mentions(docs, gaz), gaz)
+    chunks = chunk_documents(docs)
+    comp = connected_components(pairs)
+    stages["triples_union_distinct"] = timed(
+        lambda: noop(build_triples(
+            doc_triples(docs), mention_triples(linked),
+            same_as_triples(comp), chunk_triples(chunks),
+        ))
+    )
+    print(json.dumps({
+        "sf": SF_DIR, "cpus": CPUS,
+        "full_reps": [round(x, 3) for x in full],
+        "full_min": round(min(full), 3),
+        "stages": stages,
+        "stage_sum": round(sum(stages.values()), 3),
+    }, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
