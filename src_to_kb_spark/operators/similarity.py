@@ -75,6 +75,7 @@ def embedding_neardup_pairs(
     n_tables: int = 8,
     dim: int | None = None,
     rerank: str = "matmul",
+    block_cells: int = 4_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim ≥
     threshold), cos rounded to 4 dp.
@@ -113,7 +114,8 @@ def embedding_neardup_pairs(
 
         if rerank == "matmul":
             return _neardup_bucket_matmul(
-                embeddings, bucket_udf, threshold, id_col, vec_col, dim
+                embeddings, bucket_udf, threshold, id_col, vec_col, dim,
+                block_cells=block_cells,
             )
 
         # one numpy matmul per Arrow batch computes every table's
@@ -203,18 +205,29 @@ def _neardup_bucket_matmul(
     id_col: str,
     vec_col: str,
     dim: int,
+    block_cells: int = 4_000_000,
 ) -> DataFrame:
     """Per-bucket vectorized rerank (see
     :func:`embedding_neardup_pairs` ``rerank="matmul"``).
 
     Plan shape: map (bucket UDF + posexplode) → ONE hash shuffle on
     (tbl, bucket) → FlatMapGroupsInPandas (numpy ``G @ G.T`` per
-    group) → dedup of the post-threshold survivors.  No self-join, no
-    per-pair vector re-attach, no interpreted HOF fold.  float64
-    blocked summation can differ from the sequential fold by ~1 ulp;
-    at 4-dp rounding a flip needs a cosine within ~1e-12 of a rounding
-    boundary — measure-zero for real embeddings, and matmul==join
-    equality is pinned on the testdata in pytest.
+    group, ROW-BLOCKED) → dedup of the post-threshold survivors.  No
+    self-join, no per-pair vector re-attach, no interpreted HOF fold.
+    float64 blocked summation can differ from the sequential fold by
+    ~1 ulp; at 4-dp rounding a flip needs a cosine within ~1e-12 of a
+    rounding boundary — measure-zero for real embeddings, and
+    matmul==join equality is pinned on the testdata in pytest.
+
+    Memory bound (r3 ADVICE medium): a dense n×n cosine matrix plus
+    triu index arrays is ~32 B/pair — multi-GB single allocations once
+    a bucket holds ~10^5+ vectors (bucket size grows ~N/2^n_bits with
+    the corpus).  The scoring is therefore BLOCKED over the row axis:
+    per block of ``B`` rows it materializes a B×n slice (each entry is
+    still the same single dot product, so values are unchanged),
+    thresholds it, and keeps only survivors — peak extra memory is
+    O(B·n) ≈ 32 MB regardless of bucket size, while the vectors
+    themselves stream through the shuffle exactly once as before.
     """
     import numpy as np
 
@@ -237,15 +250,39 @@ def _neardup_bucket_matmul(
         ids = pdf["id"].to_numpy()
         m = np.asarray(pdf["v"].tolist(), dtype=np.float64).reshape(-1, dim)
         nrm = np.sqrt((m * m).sum(axis=1))
-        cos = (m @ m.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(n, k=1)
-        c = np.round(cos[iu, ju], 4)
-        keep = c >= threshold
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        # block size: ~block_cells float64 cells per row-block
+        # slice (32 MB at the 4M default); floor keeps tiny buckets
+        # single-block
+        blk = max(1, min(n, block_cells // max(n, 1)))
+        cols = np.arange(n)
+        parts_a, parts_b, parts_c = [], [], []
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            # same dot/outer arithmetic as the unblocked form (and the
+            # join rerank twin): each entry is dot(m_i, m_j)/(n_i·n_j)
+            cos = (m[i0:i1] @ m.T) / np.outer(nrm[i0:i1], nrm)
+            # upper triangle only: j > i for each row i in the block
+            mask = cols[None, :] > np.arange(i0, i1)[:, None]
+            c = np.round(cos[mask], 4)
+            keep = c >= threshold
+            if not keep.any():
+                continue
+            ii, jj = np.nonzero(mask)
+            parts_a.append(ids[ii[keep] + i0])
+            parts_b.append(ids[jj[keep]])
+            parts_c.append(c[keep])
+        if not parts_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        ia = np.concatenate(parts_a)
+        ib = np.concatenate(parts_b)
         # group order is arbitrary → canonicalize id_a < id_b
         return pd.DataFrame(
             {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
-             "cos_sim": c[keep]}
+             "cos_sim": np.concatenate(parts_c)}
         )
 
     return (
