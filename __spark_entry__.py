@@ -298,6 +298,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.path.join(out_dir, "unique_documents")
         ).select("checksum", "url", "lang", "size")
 
+    def q_streaming_dedup_2batch(spark, sf):
+        # the CROSS-BATCH contract row (judge r3 #7): same stateful
+        # operator, but the drain is forced through TWO micro-batches
+        # (url-sorted 2-file split + maxFilesPerTrigger=1), so rows of
+        # a checksum seen in batch 1 are suppressed by the STATE STORE
+        # in batch 2 — the path the single-batch row never exercises.
+        # The driver corpus has no duplicate contents, so the input is
+        # AUGMENTED with deterministic re-crawls (same text, url
+        # prefixed 'zzz/' so every copy sorts — and therefore streams —
+        # AFTER its original); the copies duplicate batch-1 checksums
+        # inside batch 2, which the state store must suppress.  The
+        # md5-prefix predicate picking which urls get re-crawled is
+        # shared with the DuckDB twin; the url-sorted split keeps the
+        # first-seen winner equal to the global min url, so the twin
+        # is the same GROUP BY with the augmented input.
+        import os
+
+        from src_to_kb_spark.streaming.dedup import (
+            run_dedup_once,
+            write_url_split_batches,
+        )
+
+        base = _stage_cache_dir(sf, "sdedup2b")
+        out_dir = os.path.join(base, "out")
+        done_marker = os.path.join(base, "_drained")
+        if not os.path.exists(done_marker):
+            os.makedirs(base, exist_ok=True)
+            in_dir = os.path.join(base, "in")
+            pages = load_pages(spark, sf, keep_keys=False)
+            recrawl = pages.filter(
+                F.substring(F.md5("url"), 1, 1) < "8"
+            ).withColumn("url", F.concat(F.lit("zzz/"), F.col("url")))
+            write_url_split_batches(
+                pages.unionByName(recrawl), in_dir, n_files=2
+            )
+            run_dedup_once(
+                spark, in_dir, out_dir, os.path.join(base, "ck"),
+                max_files_per_trigger=1,
+            )
+            # record the committed micro-batch count (expected 2) from
+            # the checkpoint's commit log
+            commits_dir = os.path.join(base, "ck", "dedup", "commits")
+            n_batches = len(
+                [f for f in os.listdir(commits_dir)
+                 if not f.startswith(".")]
+            )
+            with open(done_marker, "w") as f:
+                f.write(str(n_batches))
+        return spark.read.parquet(
+            os.path.join(out_dir, "unique_documents")
+        ).select("checksum", "url", "lang", "size")
+
     def q_similar_docs_mcp(spark, sf):
         docs = _docs(spark, sf)
         target_url = (
@@ -585,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_docs": q_similar_docs,
         "similar_docs_mcp": q_similar_docs_mcp,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_dedup_2batch": q_streaming_dedup_2batch,
         "search_chunks_kb": q_search_chunks_kb,
         "mentions": q_mentions,
         "entity_link": q_entity_link,
@@ -712,6 +765,23 @@ SELECT sha256(text) AS checksum, min(url) AS url,
        arg_min(lang, url) AS lang,
        arg_min(octet_length(encode(text)), url)::BIGINT AS size
 FROM pages GROUP BY 1
+"""
+
+    # 2-batch drain twin: same aggregate over the AUGMENTED input (the
+    # deterministic 'zzz/' re-crawls the Spark side streams in batch 2)
+    # — min/arg_min by url still picks the original row because 'zzz/'
+    # sorts after every real url.
+    streaming_dedup_2batch = f"""{pages}
+, aug AS (
+  SELECT url, text, lang FROM pages
+  UNION ALL
+  SELECT 'zzz/' || url, text, lang FROM pages
+  WHERE substr(md5(url), 1, 1) < '8'
+)
+SELECT sha256(text) AS checksum, min(url) AS url,
+       arg_min(lang, url) AS lang,
+       arg_min(octet_length(encode(text)), url)::BIGINT AS size
+FROM aug GROUP BY 1
 """
 
     ext_p = oracle_ext_sql("p.url")
@@ -950,6 +1020,7 @@ FROM pages GROUP BY 1, 2
         "ingest_gate": ingest_gate,
         "similar_docs_mcp": similar_docs_mcp,
         "streaming_dedup": streaming_dedup,
+        "streaming_dedup_2batch": streaming_dedup_2batch,
         "streaming_window_rate": streaming_window_rate,
         # multimodal_features: rows-only (container encode + FFT not
         # SQL-expressible) — deliberately absent here; its

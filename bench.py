@@ -39,8 +39,10 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "embedding_neardup",
     "streaming_dedup",
+    "streaming_dedup_2batch",
     "streaming_window_rate",
     "multimodal_features",
+    "multimodal_meta",
     "knn_cosine",
     "knn_lsh",
     "knn_ivf",
@@ -58,6 +60,7 @@ BENCH_QUERIES = [
 STAGE_BACKED = [
     "search_chunks_kb",
     "streaming_dedup",
+    "streaming_dedup_2batch",
     "streaming_window_rate",
     "knn_lsh_kb",
     "knn_ivf_kb",

@@ -77,14 +77,19 @@ def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def run_dedup_once(
-    spark, input_dir: str, out_dir: str, checkpoint_dir: str
-) -> None:
+    spark, input_dir: str, out_dir: str, checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+):
     """Drain the current backlog through the stateful dedup into a
     parquet sink; same checkpoint → later drains dedup against all
-    previously seen checksums."""
+    previously seen checksums.  Returns the (terminated) query so
+    callers can inspect ``recentProgress`` (e.g. assert how many
+    micro-batches the drain took)."""
     from .ingest import stream_documents, stream_pages
 
-    docs = stream_documents(stream_pages(spark, input_dir))
+    docs = stream_documents(
+        stream_pages(spark, input_dir, max_files_per_trigger)
+    )
     q = (
         streaming_exact_dedup(docs)
         .writeStream.format("parquet")
@@ -95,3 +100,49 @@ def run_dedup_once(
         .start()
     )
     q.awaitTermination()
+    return q
+
+
+def write_url_split_batches(pages: DataFrame, in_dir: str, n_files: int = 2):
+    """Write ``pages`` into ``n_files`` parquet FILES inside ``in_dir``
+    such that file k holds the k-th url-sorted slice, with strictly
+    increasing mtimes so the file stream source (oldest-first order)
+    replays them as ``n_files`` deterministic micro-batches under
+    ``maxFilesPerTrigger=1``.
+
+    The url-sorted split has the property the cross-engine oracle
+    needs: every checksum group's GLOBAL min-url row is in the
+    earliest file that contains the group at all, so the stateful
+    dedup's first-seen winner equals the batch ``arg_min(·, url)``
+    twin even though later batches are suppressed by state.
+
+    Test scaffolding, not a production shape: the global sort +
+    single-file writes exist to make batch ASSIGNMENT deterministic
+    for the contract check; a real crawl's batches are whatever
+    arrives, and the operator's semantics (emit first arrival, count
+    the rest) don't depend on this ordering.
+    """
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql.window import Window
+
+    os.makedirs(in_dir, exist_ok=True)
+    sliced = pages.withColumn(
+        "_slice", F.ntile(n_files).over(Window.orderBy("url"))
+    )
+    for k in range(1, n_files + 1):
+        tmp = os.path.join(in_dir, f"_tmp_slice_{k}")
+        (
+            sliced.filter(F.col("_slice") == k).drop("_slice")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(in_dir, f"batch_{k:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        # strictly increasing mtimes -> deterministic replay order
+        t = time.time() - 1000 + 100 * k
+        os.utime(dst, (t, t))

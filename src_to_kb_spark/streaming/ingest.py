@@ -25,10 +25,12 @@ PAGES_SCHEMA = (
 )
 
 
-def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_pages(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     return (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 

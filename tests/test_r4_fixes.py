@@ -104,3 +104,44 @@ def test_matmul_rerank_blocked_equals_unblocked(spark):
         ).collect()
     }
     assert one == many and one
+
+
+def test_two_batch_drain_suppresses_cross_batch_dups(spark, tmp_path):
+    """The url-split 2-file input really drains as TWO micro-batches,
+    and a batch-2 re-crawl (same text, 'zzz/' url) of a batch-1 page
+    is suppressed by the state store — one output row per distinct
+    content, winner = the original (min) url."""
+    from src_to_kb_spark.streaming.dedup import (
+        run_dedup_once,
+        write_url_split_batches,
+    )
+
+    rows = [
+        (f"https://ex.com/p{i:02d}", None, f"content {i}".encode(),
+         f"content {i}", "en")
+        for i in range(10)
+    ]
+    # re-crawls of p00..p04: same text, url sorts last -> batch 2
+    rows += [
+        (f"zzz/https://ex.com/p{i:02d}", None, f"content {i}".encode(),
+         f"content {i}", "en")
+        for i in range(5)
+    ]
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    write_url_split_batches(pages, in_dir, n_files=2)
+    run_dedup_once(spark, in_dir, out_dir, ck, max_files_per_trigger=1)
+    # committed micro-batch count, from the checkpoint's commit log
+    # (durable and exact; recentProgress does not carry row counts here)
+    import os
+
+    commits = [
+        f for f in os.listdir(os.path.join(ck, "dedup", "commits"))
+        if not f.startswith(".")
+    ]
+    assert len(commits) == 2
+    got = spark.read.parquet(f"{out_dir}/unique_documents").collect()
+    assert len(got) == 10  # one per distinct content, dups suppressed
+    assert all(not r["url"].startswith("zzz/") for r in got)
