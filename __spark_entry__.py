@@ -582,6 +582,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return co.unionByName(we)
 
+    def q_modes(spark, sf):
+        # the GET /api/v1/modes projection (modes.js:85-118 via
+        # queries/modes.py) as a tiny oracle-checked table: key, name,
+        # description, exclude-pattern count, prioritizeTypes count,
+        # depth.  Values are the reference's ANSWER_MODES constants, so
+        # the DuckDB twin is a VALUES literal — the check pins that the
+        # engine-side metadata matches the reference table exactly.
+        from src_to_kb_spark.queries.modes import get_all_modes, get_mode_info
+
+        rows = []
+        for m in get_all_modes():
+            info = get_mode_info(m["key"])
+            rows.append((
+                m["key"], m["name"], m["description"],
+                info["filters"]["nExcludePatterns"],
+                len(info["filters"]["prioritizeTypes"]),
+                info["filters"]["maxTechnicalDepth"],
+            ))
+        return spark.createDataFrame(
+            rows,
+            "key string, name string, description string, "
+            "n_exclude int, n_prioritize int, depth string",
+        )
+
     def q_kb_doc_summary(spark, sf):
         # S10's per-document summary projection as a real table
         from src_to_kb_spark.operators.kbio import kb_summary_documents
@@ -707,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upload_completeness": q_upload_completeness,
         "upload_sendable": q_upload_sendable,
         "kb_doc_summary": q_kb_doc_summary,
+        "modes": q_modes,
         "streaming_window_rate": q_streaming_window_rate,
         "multimodal_features": q_multimodal_features,
         "multimodal_meta": q_multimodal_meta,
@@ -1078,6 +1103,22 @@ SELECT date_trunc('minute', warc_ts) AS w_start, lang,
 FROM pages GROUP BY 1, 2
 """
 
+    # mode metadata literals (modes.js:4-88) — the engine's values must
+    # equal the reference's; DuckDB side is the same table as VALUES
+    modes_sql = """
+SELECT * FROM (VALUES
+  ('enduser', 'End User',
+   'Simplified answers for non-technical users, avoiding internal implementation details',
+   11, 4, 'low'),
+  ('developer', 'Developer',
+   'Detailed technical answers including architecture and implementation details',
+   0, 5, 'high'),
+  ('copilot', 'Copilot',
+   'Code-focused answers with examples and patterns for implementation',
+   4, 4, 'medium')
+) AS t(key, name, description, n_exclude, n_prioritize, depth)
+"""
+
     knn_lsh_sql = oracle_knn_lsh_sql(k=10, dim=64, n_bits=4)
     knn_ivf_sql = oracle_knn_ivf_sql(k=10, dim=64, n_centroids=8, nprobe=2)
 
@@ -1111,6 +1152,7 @@ FROM pages GROUP BY 1, 2
         "upload_completeness": upload_completeness,
         "upload_sendable": upload_sendable,
         "kb_doc_summary": kb_doc_summary,
+        "modes": modes_sql,
         "search_chunks": search_chunks_sql,
         "search_chunks_mcp": search_chunks_mcp_sql,
         "pipeline_triples": pipeline_triples_sql,

@@ -49,7 +49,10 @@ def main(argv: list[str] | None = None) -> dict:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from src_to_kb_spark.operators.canonicalize import connected_components
+    from src_to_kb_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
     from src_to_kb_spark.operators.chunker import chunk_documents
     from src_to_kb_spark.operators.dedup import (
         band_signature_rows,
@@ -169,10 +172,18 @@ def main(argv: list[str] | None = None) -> dict:
     # Near-dup is delta-aware too (r2 verdict #2): the band signatures
     # are their own committed stage table, so a delta only bands the
     # NEW docs and joins them against the committed bands — the band
-    # UDF never re-touches the existing corpus.  Only the stages that
-    # are genuinely global over a SMALL input — components (over the
-    # pair table) and triples (map-only union over stage tables) —
-    # recompute.
+    # UDF never re-touches the existing corpus.  Components update
+    # INCREMENTALLY from the committed labeling when one exists
+    # (quotient-graph contraction — the iterative CC work is O(delta);
+    # see incremental_components); only triples (map-only union over
+    # stage tables) recompute outright.
+    # Seed eligibility is decided BEFORE invalidation: the marker comes
+    # off below, but the parquet labels stay on disk and are exactly
+    # the pre-delta fixpoint — a crash mid-delta re-enters through the
+    # _delta_pending invalidation above, which also clears the seed.
+    components_seed_ok = docs_delta is not None and is_committed(
+        args.output, "components"
+    )
     if docs_delta is not None:
         invalidate(("components", "triples"))
 
@@ -238,6 +249,7 @@ def main(argv: list[str] | None = None) -> dict:
         )
         with open(scheme_path, "w") as f:
             f.write(BANDS_SCHEME)
+        delta_pairs = None
         if not is_committed(args.output, "neardup_pairs"):
             write_stage(
                 verify_candidate_pairs(
@@ -254,19 +266,34 @@ def main(argv: list[str] | None = None) -> dict:
             # bands(delta) ⋈ bands(full, incl. the just-appended delta
             # rows), verified against the full documents table, and
             # APPENDED — the committed pair set stays untouched.
+            # localCheckpoint: the incremental-components path below
+            # re-reads these rows; without it the verify join would
+            # re-run per consumer.
             delta_keys = docs_delta.select(F.col("url").alias("key"))
             delta_bands = bands.join(delta_keys, "key", "left_semi")
-            new_pairs = verify_candidate_pairs(
+            delta_pairs = verify_candidate_pairs(
                 documents,
                 candidate_pairs_involving(delta_bands, bands),
                 threshold=args.neardup_threshold,
-            )
+            ).localCheckpoint()
             write_stage(
-                new_pairs, args.output, "neardup_pairs", mode="append"
+                delta_pairs, args.output, "neardup_pairs", mode="append"
             )
         pairs = read_stage(spark, args.output, "neardup_pairs")
-        # components always recompute from the (small) pair table when
-        # pairs changed — their marker is invalidated on any delta
+        if (
+            not is_committed(args.output, "components")
+            and components_seed_ok
+            and delta_pairs is not None
+        ):
+            # incremental CC: seed from the committed labeling, contract
+            # the delta pairs, iterate over O(delta) edges only.  The
+            # eager checkpoint materializes the result BEFORE the
+            # overwrite of the table it was read from.
+            seed = read_stage(spark, args.output, "components")
+            updated = incremental_components(
+                seed, delta_pairs
+            ).localCheckpoint()
+            write_stage(updated, args.output, "components")
         return pairs, stage(
             "components", lambda: connected_components(pairs)
         )
