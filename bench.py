@@ -521,13 +521,24 @@ def main() -> None:
         if paired:
             # Window-robust measurement (judge r3 #3): INTERLEAVE the
             # two cluster sizes A/B/A/B within one window — fresh
-            # executor JVMs re-created per rep — so a VM interference
-            # burst hits adjacent reps of BOTH levels instead of one
-            # level's whole block, and report the PER-PAIR ratios.  A
-            # burst during pair k skews ratio k in a known direction;
-            # the median pair is the window-robust estimate.
+            # executor JVMs re-created per pair slot — so a VM
+            # interference burst hits adjacent slots of BOTH levels
+            # instead of one level's whole block, and report the
+            # PER-PAIR ratios.  A burst during pair k skews ratio k in
+            # a known direction; the median pair is the window-robust
+            # estimate.
+            # Each slot still runs MIN-of-2 in-session reps: the first
+            # full-scale rep inside a fresh session pays a measured
+            # 2-4× warm-up penalty (run I's own rep sequences were
+            # 444→220→196 s at N and 363→108→89 s at 4N; a 1-rep
+            # paired prototype reproduced 429 s at 4N on a quiet box)
+            # — a single-rep slot measures that warm-up, not the
+            # engine, and the penalty is LARGER at 4N (more JVMs, more
+            # python workers, more JIT), biasing 1-rep ratios down.
             n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
-            env["SPARK_GRAFT_SCALE_REPS"] = "1"
+            env["SPARK_GRAFT_SCALE_REPS"] = os.environ.get(
+                "SPARK_GRAFT_SCALE_PAIR_REPS", "2"
+            )
             pairs_out = []
             for k in range(n_pairs):
                 lo = run_level(lo_cpus)
