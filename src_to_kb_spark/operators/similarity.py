@@ -65,6 +65,37 @@ def knn_brute_force(
     )
 
 
+def auto_lsh_params(
+    n_vectors: int,
+    target_bucket: int = 4096,
+    base_tables: int = 8,
+) -> dict:
+    """Corpus-size-derived LSH knobs for :func:`embedding_neardup_pairs`
+    (r3 ADVICE medium #2's other half — the REGISTERED query pins
+    n_bits=3 because the DuckDB twin must be reproducible, but a
+    production caller should derive the knobs from |corpus|).
+
+    ``n_bits`` targets an expected bucket of ``target_bucket`` vectors
+    (per-group rerank work is O(|bucket|²) flops but O(block·|bucket|)
+    memory after row-blocking): n_bits = ceil(log2(n / target_bucket)),
+    clamped to [1, 24].  Each +1 bit halves the bucket AND the per-table
+    collision probability of a true pair, so recall is recovered by
+    growing ``n_tables`` with n_bits (OR-amplification: a pair is a
+    candidate if it collides in ANY table) — one extra table per bit
+    over the base-8 at the default 3 bits.
+    """
+    import math
+
+    n_bits = min(24, max(1, math.ceil(
+        math.log2(max(n_vectors, 2) / target_bucket)
+    )))
+    return {
+        "n_bits": n_bits,
+        "n_tables": base_tables + max(0, n_bits - 3),
+        "expected_bucket": max(1, n_vectors >> n_bits),
+    }
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

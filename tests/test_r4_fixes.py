@@ -145,3 +145,23 @@ def test_two_batch_drain_suppresses_cross_batch_dups(spark, tmp_path):
     got = spark.read.parquet(f"{out_dir}/unique_documents").collect()
     assert len(got) == 10  # one per distinct content, dups suppressed
     assert all(not r["url"].startswith("zzz/") for r in got)
+
+
+def test_auto_lsh_params_scaling_shape():
+    """The production scale knobs grow with |corpus|: buckets stay near
+    target (bounded rerank groups), tables grow with bits (recall)."""
+    from src_to_kb_spark.operators.similarity import auto_lsh_params
+
+    small = auto_lsh_params(1_000)
+    assert small["n_bits"] == 1  # floor
+    mid = auto_lsh_params(1_000_000)
+    assert mid["n_bits"] == 8 and mid["n_tables"] == 13
+    assert 2_000 <= mid["expected_bucket"] <= 4_096
+    big = auto_lsh_params(10**12)
+    assert big["n_bits"] == 24 and big["expected_bucket"] <= 65_536
+    # monotone: more corpus never means fewer bits/tables
+    prev = (0, 0)
+    for n in (10**3, 10**5, 10**7, 10**9, 10**12):
+        p = auto_lsh_params(n)
+        assert (p["n_bits"], p["n_tables"]) >= prev
+        prev = (p["n_bits"], p["n_tables"])
