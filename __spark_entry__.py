@@ -344,6 +344,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 [f for f in os.listdir(commits_dir)
                  if not f.startswith(".")]
             )
+            # the row exists to exercise the cross-batch state-store
+            # path: if the 2-file/maxFilesPerTrigger forcing ever
+            # degenerates to one micro-batch, the output would still
+            # match the twin (single-batch dedup = same arg_min) and
+            # the row would silently stop covering what it claims —
+            # fail loudly instead
+            if n_batches < 2:
+                raise RuntimeError(
+                    f"streaming_dedup_2batch drained in {n_batches} "
+                    "micro-batch(es); expected >=2 — the cross-batch "
+                    "contract is not being exercised"
+                )
             with open(done_marker, "w") as f:
                 f.write(str(n_batches))
         return spark.read.parquet(
@@ -1079,7 +1091,7 @@ SELECT DISTINCT subj, pred, obj FROM (
     # FEATURE_DIM=32 (schema invariant of extract_media_features).
     multimodal_meta = f"""{pages}
 , picked AS (
-  SELECT url, octet_length(encode(text)) AS nbytes,
+  SELECT url, coalesce(octet_length(encode(text)), 0) AS nbytes,
          ('0x' || substr(md5(url), 1, 4))::INT % 3 AS pick
   FROM pages
 )

@@ -108,8 +108,17 @@ def _pipeline_stage_secs(spark, sf_dir: str) -> dict[str, float]:
         n_partitions=spark.sparkContext.defaultParallelism,
     )
     gaz = gazetteer_df(spark)
-    docs = extract_pages(pages).persist()
-    stages = {"extract_persist": timed(lambda: docs.count())}
+    docs = extract_pages(pages)
+
+    # each rep must RE-MATERIALIZE the cache — min-of-2 over a
+    # persisted frame would always keep the cached-count rep and the
+    # extract UDF's cost would never appear in the attribution table
+    def extract_rep():
+        docs.unpersist(blocking=True)
+        docs.persist()
+        docs.count()
+
+    stages = {"extract_persist": timed(extract_rep)}
     stages["chunks"] = timed(lambda: noop(chunk_documents(docs)))
     stages["mentions_linked"] = timed(
         lambda: noop(link_mentions(detect_mentions(docs, gaz), gaz))
@@ -556,12 +565,14 @@ def main() -> None:
                         / (4 * lo["map_core_docs_per_sec"]), 3
                     ),
                 })
+            import statistics
+
             effs = sorted(p["efficiency_n_to_4n"] for p in pairs_out)
             mc_effs = sorted(
                 p["map_core_efficiency_n_to_4n"] for p in pairs_out
             )
-            med = effs[len(effs) // 2]
-            mc_med = mc_effs[len(mc_effs) // 2]
+            med = round(statistics.median(effs), 3)
+            mc_med = round(statistics.median(mc_effs), 3)
             hw = _hw_scaling_control(levels=(lo_cpus, hi_cpus))
             hw_eff = hw["hw_efficiency_n_to_4n"]
             result["scaling_paired"] = {

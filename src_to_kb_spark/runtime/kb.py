@@ -29,10 +29,14 @@ _MARKER_PREFIX = "_committed_"
 
 
 def _is_kb_dir(path: str) -> bool:
-    """A directory is a KB output iff it holds at least one pipeline
-    artifact (stage marker, metrics sidecar, summary, or the pending
-    marker).  Everything else — including an empty or unrelated dir —
-    is NOT a KB, and delete refuses it."""
+    """A directory is a KB output iff it holds at least one
+    PIPELINE-SPECIFIC artifact: a ``_committed_<stage>`` marker, a
+    ``_metrics_<stage>.json`` sidecar, or the ``_delta_pending``
+    marker.  A bare ``summary.json`` does NOT qualify — the filename
+    is too generic, and accepting it would let :func:`kb_delete`
+    rmtree an unrelated project dir that happens to contain one.
+    Everything else — including an empty or unrelated dir — is NOT a
+    KB, and delete refuses it."""
     if not os.path.isdir(path):
         return False
     try:
@@ -40,8 +44,7 @@ def _is_kb_dir(path: str) -> bool:
     except OSError:
         return False
     return any(
-        n.startswith((_MARKER_PREFIX, "_metrics_"))
-        or n in ("summary.json", "_delta_pending")
+        n.startswith((_MARKER_PREFIX, "_metrics_")) or n == "_delta_pending"
         for n in names
     )
 
@@ -57,7 +60,12 @@ def kb_status(out_dir: str) -> dict:
     reconcile, so downstream markers may be stale → processing even if
     every marker exists."""
     if not _is_kb_dir(out_dir):
-        return {"status": "not_found", "progress": 0, "stages": {}}
+        return {
+            "status": "not_found",
+            "progress": 0,
+            "stages": {},
+            "reconciling_delta": False,
+        }
     stages = {
         st: os.path.exists(os.path.join(out_dir, _MARKER_PREFIX + st))
         for st in STAGES
@@ -98,7 +106,10 @@ def kb_list(base_dir: str) -> list[dict]:
             if os.path.exists(marker):
                 try:
                     with open(marker) as f:
-                        ts = int(f.read().strip() or 0)
+                        # an EMPTY marker (crash between open and
+                        # write) must fall through to mtime, not
+                        # become epoch-0 and win every min()
+                        ts = int(f.read().strip())
                 except (OSError, ValueError):
                     ts = int(os.path.getmtime(marker))
                 created = ts if created is None else min(created, ts)
@@ -119,7 +130,7 @@ def kb_delete(out_dir: str, force: bool = False) -> bool:
     if not _is_kb_dir(out_dir):
         raise ValueError(
             f"refusing to delete {out_dir!r}: no pipeline artifacts "
-            "(_committed_* / _metrics_* / summary.json) — not a KB dir"
+            "(_committed_* / _metrics_* / _delta_pending) — not a KB dir"
         )
     if not force and kb_status(out_dir)["status"] == "processing":
         raise ValueError(

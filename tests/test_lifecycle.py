@@ -166,3 +166,41 @@ def test_get_mode_info_pins_reference_filters():
 
     assert get_mode_info("nope") is None
     assert DEFAULT_MODE == "developer"
+
+
+def test_not_found_status_shape(tmp_path):
+    """All three status states return the same keys — a consumer can
+    read reconciling_delta without special-casing not_found."""
+    st = kb_status(str(tmp_path / "nope"))
+    assert st["status"] == "not_found"
+    assert st["reconciling_delta"] is False
+
+
+def test_summary_json_alone_is_not_a_kb(tmp_path):
+    """A generic summary.json must NOT qualify a dir for deletion —
+    only pipeline-specific artifacts (_committed_* / _metrics_* /
+    _delta_pending) do."""
+    d = str(tmp_path / "ml_experiment")
+    os.makedirs(d)
+    with open(os.path.join(d, "summary.json"), "w") as f:
+        json.dump({"accuracy": 0.9}, f)
+    assert kb_status(d)["status"] == "not_found"
+    with pytest.raises(ValueError, match="not a KB dir"):
+        kb_delete(d, force=True)
+    assert os.path.exists(d)
+
+
+def test_empty_marker_falls_back_to_mtime(tmp_path):
+    """A marker emptied by a crash between open and write must use the
+    file mtime, not int('' or 0) = epoch 0 (which would win every
+    min() and report created_at=1970)."""
+    kb = str(tmp_path / "kb_crash")
+    os.makedirs(kb)
+    _mark(kb, "documents", ts=1700000300)
+    # crash artifact: empty marker for a later stage
+    open(os.path.join(kb, "_committed_chunks"), "w").close()
+    entry = kb_list(str(tmp_path))[0]
+    assert entry["created_at"] > 0
+    # mtime of the empty marker is "now" >> the real 2023 timestamp,
+    # so the earliest real marker must win
+    assert entry["created_at"] == 1700000300

@@ -165,3 +165,47 @@ def test_auto_lsh_params_scaling_shape():
         p = auto_lsh_params(n)
         assert (p["n_bits"], p["n_tables"]) >= prev
         prev = (p["n_bits"], p["n_tables"])
+
+
+def test_multimodal_meta_twin_handles_null_text(spark, tmp_path):
+    """The DuckDB twin must agree with the engine on a NULL-text page:
+    DuckDB's least/greatest IGNORE NULLs, so the un-coalesced formula
+    read least(NULL, 2048) = 2048 → 4140 WAV bytes where the engine
+    (``(text or "").encode()``) emits the 46-byte one-NUL-sample
+    container.  Runs the REAL registered query and oracle SQL over a
+    corpus with NULL / empty / short / long text rows."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [None, "", "a", "hello world " * 400],  # >2048 too
+            "lang": ["en"] * 4,
+            "source": ["s0"] * 4,
+            "n_chars": [0, 0, 1, 4800],
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf_dir}/documents.parquet")
+
+    q = entry.queries()["multimodal_meta"]
+    got = {
+        (r["url"], r["kind"], r["n_bytes"], r["feature_dim"])
+        for r in q(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(
+            entry.oracle_sql()["multimodal_meta"]
+        ).fetchall()
+    }
+    assert got == want and len(got) == 4

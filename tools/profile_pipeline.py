@@ -70,8 +70,16 @@ def main():
     )
     gaz = gazetteer_df(spark)
 
-    docs = extract_pages(pages).persist()
-    stages["extract_persist"] = timed(lambda: docs.count())
+    docs = extract_pages(pages)
+
+    # re-materialize per rep — min-of-2 over an already-persisted frame
+    # would only ever time the cached count (see bench.py)
+    def extract_rep():
+        docs.unpersist(blocking=True)
+        docs.persist()
+        docs.count()
+
+    stages["extract_persist"] = timed(extract_rep)
     stages["chunks"] = timed(lambda: noop(chunk_documents(docs)))
     stages["mentions"] = timed(lambda: noop(detect_mentions(docs, gaz)))
     stages["linked"] = timed(
