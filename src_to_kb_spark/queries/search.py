@@ -46,12 +46,24 @@ MODE_PRIORITIZE: dict[str, list[str]] = {
 
 
 def keywords_of(query: str) -> list[str]:
-    """search.js:132-133 — lower-case, split on whitespace runs."""
-    return [k for k in re.split(r"\s+", query.lower()) if k]
+    """search.js:132-133 — lower-case, split on whitespace runs.
+
+    EXACTLY JS ``split(/\\s+/)``: empty strings are KEPT — ``''`` →
+    ``['']``, ``' a '`` → ``['', 'a', '']``.  An empty keyword scores
+    every chunk ``length+1`` (``''.match(//gi)`` matches at every
+    position; Spark's ``regexp_count(lc, '')`` returns the identical
+    count and ``instr(lc, '') = 1`` mirrors ``includes('') = true``),
+    so blank / padded queries rank instead of crashing — the
+    reference's observable behavior, degenerate as it is."""
+    return re.split(r"\s+", query.lower())
 
 
 def _substr_count(text_lower: Column, kw: str) -> Column:
-    """Non-overlapping substring occurrences (shared oracle formula)."""
+    """Non-overlapping substring occurrences (shared oracle formula).
+    The empty keyword counts ``length+1`` — the JS empty-regex match
+    count (see :func:`keywords_of`)."""
+    if not kw:
+        return (F.length(text_lower) + 1).cast("long")
     return (
         (F.length(text_lower) - F.length(F.replace(text_lower, F.lit(kw))))
         / len(kw)
@@ -105,6 +117,48 @@ def priority_col(mode: str, path_col: Column, lang_col: Column) -> Column:
     return conds if conds is not None else F.lit(False)
 
 
+def _kw_score_and_snippets(
+    kws: list[str], strip_word_edges: bool
+) -> tuple[Column, Column]:
+    """Per-keyword relevance score + snippet array over a ``content``
+    column — the loop body search.js:146-166 and mcp-server.mjs:76-90
+    SHARE, differing only in the final ``^\\W+``/``\\W+$`` strips
+    (search.js:164-165, absent from the MCP flavor).  One
+    implementation keeps the two registered flavors (and their DuckDB
+    twins) from drifting apart.
+
+    J1 with the literal-containment GATE (search.js:148): the regex
+    occurrence count is added ONLY when the content contains the
+    keyword as a LITERAL — a regex-metacharacter keyword like
+    ``spark.`` must not score ``sparky`` chunks the reference
+    excludes.  ``instr`` is the literal test; the count itself stays
+    the reference's regex count.
+    """
+    lc = F.lower(F.col("content"))
+    score: Column | None = None
+    snippet_cols: list[Column] = []
+    for kw in kws:
+        idx = F.instr(lc, kw)  # 1-based; 0 = no literal match
+        cnt = F.when(idx > 0, F.regexp_count(lc, F.lit(kw))).otherwise(
+            F.lit(0)
+        )
+        score = cnt if score is None else score + cnt
+        # J2 — ±80-char window around the FIRST occurrence, sliced from
+        # original-case content, \s+→' ' (ECMA whitespace set incl.
+        # NBSP/FEFF — wider than Java's \s, hence the explicit class).
+        start = F.greatest(idx - 80, F.lit(1))
+        end = F.least(idx + F.lit(len(kw)) + 80, F.length(lc) + 1)
+        raw = F.substring(F.col("content"), start, end - start)
+        snip = F.regexp_replace(raw, f"^{JS_WS_CLASS}+|{JS_WS_CLASS}+$", "")
+        snip = F.regexp_replace(snip, f"{JS_WS_CLASS}+", " ")
+        if strip_word_edges:
+            snip = F.regexp_replace(snip, r"^\W+", "")
+            snip = F.regexp_replace(snip, r"\W+$", "")
+        snippet_cols.append(F.when(idx > 0, snip))
+    snips = F.filter(F.array(*snippet_cols), lambda s: s.isNotNull())
+    return score, snips
+
+
 def search_chunks(
     chunks: DataFrame,
     query: str,
@@ -118,31 +172,9 @@ def search_chunks(
     preview, confidence — ordered (priority desc, score desc,
     chunk_id) and limited.
     """
-    kws = keywords_of(query)
-    lc = F.lower(F.col("content"))
-
-    score: Column | None = None
-    snippet_cols: list[Column] = []
-    for kw in kws:
-        # J1 — keyword treated as a REGEX, case-insensitive
-        # (search.js:150); count on the lower-cased content.
-        cnt = F.regexp_count(lc, F.lit(kw))
-        score = cnt if score is None else score + cnt
-        # J2 — ±80-char window around the FIRST occurrence, sliced from
-        # original-case content, \s+→' ', strip leading/trailing \W.
-        idx = F.instr(lc, kw)  # 1-based; 0 = no match
-        start = F.greatest(idx - 80, F.lit(1))
-        end = F.least(idx + F.lit(len(kw)) + 80, F.length(lc) + 1)
-        raw = F.substring(F.col("content"), start, end - start)
-        # JS .trim() and /\s+/ use the ECMA whitespace set (incl. NBSP,
-        # FEFF) — wider than Java's \s; use the explicit class.
-        snip = F.regexp_replace(raw, f"^{JS_WS_CLASS}+|{JS_WS_CLASS}+$", "")
-        snip = F.regexp_replace(snip, f"{JS_WS_CLASS}+", " ")
-        snip = F.regexp_replace(snip, r"^\W+", "")
-        snip = F.regexp_replace(snip, r"\W+$", "")
-        snippet_cols.append(F.when(idx > 0, snip))
-
-    snips = F.filter(F.array(*snippet_cols), lambda s: s.isNotNull())
+    score, snips = _kw_score_and_snippets(
+        keywords_of(query), strip_word_edges=True
+    )
     # dedup: keep snippet unless an earlier kept one contains its
     # first 30 chars (search.js:167-169)
     dedup = F.aggregate(
@@ -191,23 +223,9 @@ def search_chunks_mcp(
     contextSnippets, preview.  The JS sort is unstable on score ties;
     chunk_id asc pins both engines.
     """
-    kws = keywords_of(query)
-    lc = F.lower(F.col("content"))
-
-    score: Column | None = None
-    snippet_cols: list[Column] = []
-    for kw in kws:
-        cnt = F.regexp_count(lc, F.lit(kw))
-        score = cnt if score is None else score + cnt
-        idx = F.instr(lc, kw)
-        start = F.greatest(idx - 80, F.lit(1))
-        end = F.least(idx + F.lit(len(kw)) + 80, F.length(lc) + 1)
-        raw = F.substring(F.col("content"), start, end - start)
-        snip = F.regexp_replace(raw, f"^{JS_WS_CLASS}+|{JS_WS_CLASS}+$", "")
-        snip = F.regexp_replace(snip, f"{JS_WS_CLASS}+", " ")
-        snippet_cols.append(F.when(idx > 0, snip))
-
-    snips = F.filter(F.array(*snippet_cols), lambda s: s.isNotNull())
+    score, snips = _kw_score_and_snippets(
+        keywords_of(query), strip_word_edges=False
+    )
     return (
         chunks.withColumn("score", score)
         .filter(F.col("score") > 0)
@@ -242,7 +260,11 @@ def oracle_search_chunks_mcp_sql(
     snip_exprs = []
     for kw in kws:
         lit = kw.replace("'", "''")
-        score_terms.append(f"len(regexp_extract_all(lc, '{lit}'))")
+        # literal-containment gate (search.js:148 / mcp-server.mjs:78)
+        score_terms.append(
+            f"CASE WHEN strpos(lc, '{lit}') > 0 "
+            f"THEN len(regexp_extract_all(lc, '{lit}')) ELSE 0 END"
+        )
         raw = (
             f"substring(content, greatest(strpos(lc, '{lit}') - 80, 1), "
             f"least(strpos(lc, '{lit}') + {len(kw)} + 80, length(lc) + 1)"
@@ -408,7 +430,11 @@ def oracle_search_chunks_ctes(
     score_terms = []
     for kw in kws:
         lit = kw.replace("'", "''")
-        score_terms.append(f"len(regexp_extract_all(lc, '{lit}'))")
+        # literal-containment gate (search.js:148 / mcp-server.mjs:78)
+        score_terms.append(
+            f"CASE WHEN strpos(lc, '{lit}') > 0 "
+            f"THEN len(regexp_extract_all(lc, '{lit}')) ELSE 0 END"
+        )
         raw = (
             f"substring(content, greatest(strpos(lc, '{lit}') - 80, 1), "
             f"least(strpos(lc, '{lit}') + {len(kw)} + 80, length(lc) + 1)"

@@ -66,7 +66,9 @@ def test_generate_answer_parity(key):
     assert got["confidence"] == exp["confidence"]
     assert got["totalMatches"] == exp["totalMatches"]
     assert got["topFiles"] == exp["topFiles"]
-    assert MODE_NAME[mode] == exp["mode"]
+    # the engine must emit the DISPLAY name, exactly as the reference's
+    # modeManager.getCurrentMode().name does (search.js:384)
+    assert got["mode"] == exp["mode"] == MODE_NAME[mode]
 
 
 def test_format_bytes_parity():
