@@ -23,7 +23,17 @@ REPO_DIR = "/tmp/_ref_search_repo"
 KB_DIR = "/tmp/_ref_search_kb"
 OUT = "/root/repo/fixtures/golden_search.json"
 
-QUERIES = ["spark join", "window", "graph entity link", "the table scan"]
+QUERIES = [
+    "spark join", "window", "graph entity link", "the table scan",
+    # adversarial parity probes (round-4 review):
+    # - "scan." exercises the literal-containment gate (search.js:148):
+    #   the corpus has regex matches for /scan./ but ZERO literal
+    #   'scan.' occurrences, so the reference returns an empty set
+    # - " window " keeps JS split's empty keywords (['', 'window', ''])
+    #   which score every chunk length+1 each
+    # - "" is the blank query (keywords=['']) — ranks all chunks
+    "scan.", " window ", "",
+]
 MODES = ["developer", "enduser", "copilot"]
 N_PAGES = 80
 
