@@ -81,6 +81,20 @@ SEARCH_QUERY = "spark join stream"
 NEARDUP_THRESHOLD = 0.6
 
 
+def _probe_row(df: DataFrame, what: str):
+    """first() with a clear failure: the registered queries anchor on
+    doc_id 0 / vec_id 0; a sliced or regenerated corpus without that
+    row should fail with a message, not `None[...]` deep in query
+    construction."""
+    row = df.first()
+    if row is None:
+        raise ValueError(
+            f"corpus probe found no {what} in the sf dir - the "
+            "registered query anchors on that row"
+        )
+    return row
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pages → extract (pandas-UDF cleaner + built-in derivations)."""
     return extract_pages(load_pages(spark, sf_dir))
@@ -91,49 +105,66 @@ def _input_fingerprint(path: str) -> str:
     the first and last 64 KiB of each part file.  An mtime key would
     serve a stale cache after a same-mtime regeneration (sub-second
     copy); content bytes cannot lie.  Reads ≤128 KiB per file — O(1)
-    regardless of table size."""
+    regardless of table size.
+
+    Walks RECURSIVELY (hive/partitioned datasets nest part files in
+    subdirectories) and degrades PER ENTRY: an unreadable file
+    contributes its stat identity instead of collapsing the whole
+    fingerprint to a constant — a constant key would mean the stage
+    cache never invalidates across regenerations of such inputs."""
     import hashlib
     import os
 
+    if not os.path.exists(path):
+        return "missing"
     h = hashlib.md5()
-    try:
-        parts = (
-            sorted(
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if not f.startswith((".", "_"))
-            )
-            if os.path.isdir(path)
-            else [path]
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(dp, f)
+            for dp, dns, fns in os.walk(path)
+            for f in fns
+            if not f.startswith((".", "_"))
         )
-        for p in parts:
+    else:
+        parts = [path]
+    for p in parts:
+        rel = os.path.relpath(p, path) if p != path else os.path.basename(p)
+        try:
             size = os.path.getsize(p)
-            h.update(f"{os.path.basename(p)}|{size}|".encode())
+            h.update(f"{rel}|{size}|".encode())
             with open(p, "rb") as f:
                 h.update(f.read(65536))
                 if size > 65536:
                     f.seek(max(size - 65536, 0))
                     h.update(f.read(65536))
-    except OSError:
-        return "missing"
+        except OSError as e:
+            st = os.stat(p) if os.path.exists(p) else None
+            ident = f"{st.st_size}|{st.st_mtime_ns}" if st else "gone"
+            h.update(f"{rel}|unreadable:{type(e).__name__}|{ident}|".encode())
     return h.hexdigest()
 
 
 def _stage_cache_dir(
-    sf_dir: str, kind: str, src_name: str = "documents.parquet"
+    sf_dir: str, kind: str, src_name: str = "documents.parquet",
+    scheme: str = "",
 ) -> str:
     """Shared tmp cache location keyed on (kind, sf_dir, input CONTENT
-    fingerprint) — stale iff the driver regenerates the testdata, even
-    when regeneration preserves the mtime.  ``src_name`` must be the
-    table the stage is BUILT from (the ANN table derives from
+    fingerprint, builder SCHEME) — stale iff the driver regenerates
+    the testdata (even when regeneration preserves the mtime) OR the
+    stage's builder parameters change.  ``src_name`` must be the table
+    the stage is BUILT from (the ANN table derives from
     embeddings.parquet: hashing documents.parquet there would serve a
-    stale cache when only the embeddings change)."""
+    stale cache when only the embeddings change).  ``scheme`` is the
+    builder-parameter signature (e.g. the ANN table's bit/centroid
+    counts): without it a committed table built by OLD code would be
+    served to NEW probe code — the same hazard the pipeline job guards
+    with its ``_scheme_*`` files."""
     import hashlib
     import os
     import tempfile
 
     src = os.path.join(sf_dir, src_name)
-    tag = f"{kind}|{sf_dir}|{_input_fingerprint(src)}"
+    tag = f"{kind}|{scheme}|{sf_dir}|{_input_fingerprint(src)}"
     return os.path.join(
         tempfile.gettempdir(),
         "src_to_kb_stage_cache",
@@ -155,10 +186,14 @@ def _committed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_stage,
     )
 
-    base = _stage_cache_dir(sf_dir, "chunks")
+    base = _stage_cache_dir(
+        sf_dir, "chunks", scheme="chunk:size=1000,overlap=200"
+    )
     if not is_committed(base, "chunks"):
         os.makedirs(base, exist_ok=True)
-        write_stage(chunk_documents(_docs(spark, sf_dir)), base, "chunks")
+        write_stage(
+            chunk_documents(_docs(spark, sf_dir), 1000, 200), base, "chunks"
+        )
     return read_stage(spark, base, "chunks")
 
 
@@ -178,7 +213,10 @@ def _committed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_stage,
     )
 
-    base = _stage_cache_dir(sf_dir, "ann", src_name="embeddings.parquet")
+    base = _stage_cache_dir(
+        sf_dir, "ann", src_name="embeddings.parquet",
+        scheme="ann:dim=64,n_bits=4,n_centroids=8",
+    )
     if not is_committed(base, "ann"):
         os.makedirs(base, exist_ok=True)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -261,8 +299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_similar_docs(spark, sf):
         docs = _docs(spark, sf)
         target_url = (
-            load_pages(spark, sf).filter(F.col("doc_id") == 0)
-            .select("url").first()["url"]
+            _probe_row(
+                load_pages(spark, sf).filter(F.col("doc_id") == 0)
+                .select("url"), "doc_id 0 url")["url"]
         )
         return similar_documents(docs, target_url, limit=25)
 
@@ -278,7 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from src_to_kb_spark.streaming.dedup import run_dedup_once
 
-        base = _stage_cache_dir(sf, "sdedup")
+        base = _stage_cache_dir(sf, "sdedup", scheme="sdedup:v1")
         out_dir = os.path.join(base, "out")
         # own marker written AFTER the drain — a FileStreamSink writes
         # _spark_metadata, never _SUCCESS, so that is not a valid guard
@@ -320,7 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             write_url_split_batches,
         )
 
-        base = _stage_cache_dir(sf, "sdedup2b")
+        base = _stage_cache_dir(sf, "sdedup2b", scheme="sdedup2b:v1")
         out_dir = os.path.join(base, "out")
         done_marker = os.path.join(base, "_drained")
         if not os.path.exists(done_marker):
@@ -365,8 +404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_similar_docs_mcp(spark, sf):
         docs = _docs(spark, sf)
         target_url = (
-            load_pages(spark, sf).filter(F.col("doc_id") == 0)
-            .select("url").first()["url"]
+            _probe_row(
+                load_pages(spark, sf).filter(F.col("doc_id") == 0)
+                .select("url"), "doc_id 0 url")["url"]
         )
         return similar_documents_mcp(docs, target_url, limit=25)
 
@@ -411,7 +451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_knn_cosine(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        qv = _probe_row(
+            emb.filter(F.col("vec_id") == 0).select("embedding"),
+            "vec_id 0 embedding",
+        )[0]
         return knn_brute_force(
             emb.filter(F.col("vec_id") != 0), [float(x) for x in qv], k=10
         )
@@ -455,7 +498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_knn_lsh(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        qv = _probe_row(
+            emb.filter(F.col("vec_id") == 0).select("embedding"),
+            "vec_id 0 embedding",
+        )[0]
         return knn_lsh(
             emb.filter(F.col("vec_id") != 0), [float(x) for x in qv],
             k=10, n_bits=4,
@@ -463,7 +509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_knn_ivf(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        qv = _probe_row(
+            emb.filter(F.col("vec_id") == 0).select("embedding"),
+            "vec_id 0 embedding",
+        )[0]
         return knn_ivf(
             emb.filter(F.col("vec_id") != 0), [float(x) for x in qv],
             k=10, n_centroids=8, nprobe=2,
@@ -476,7 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query time (plan-tested).
         ann = _committed_ann(spark, sf)
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        qv = _probe_row(
+            emb.filter(F.col("vec_id") == 0).select("embedding"),
+            "vec_id 0 embedding",
+        )[0]
         return knn_lsh_kb(
             ann.filter(F.col("vec_id") != 0), [float(x) for x in qv],
             k=10, dim=64, n_bits=4,
@@ -485,7 +537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_knn_ivf_kb(spark, sf):
         ann = _committed_ann(spark, sf)
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        qv = _probe_row(
+            emb.filter(F.col("vec_id") == 0).select("embedding"),
+            "vec_id 0 embedding",
+        )[0]
         return knn_ivf_kb(
             ann.filter(F.col("vec_id") != 0), [float(x) for x in qv],
             k=10, dim=64, n_centroids=8, nprobe=2,
@@ -636,7 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from src_to_kb_spark.streaming.ingest import run_window_rate_once
 
-        base = _stage_cache_dir(sf, "swindow")
+        base = _stage_cache_dir(sf, "swindow", scheme="swindow:v1")
         name = "swr_" + os.path.basename(base)
         if not any(t.name == name for t in spark.catalog.listTables()):
             in_dir = os.path.join(base, "in")

@@ -230,7 +230,13 @@ def _scale_worker(cpus: int, n_docs: int) -> None:
     # compare REAL executor-JVM counts at identical per-executor shape
     # — main() sets it from the window's N level (8 for the 8→32
     # window → 1×8 vs 4×8; 4 for the 4→16 window → 1×4 vs 4×4).
-    exec_cores = int(os.environ.get("SPARK_GRAFT_SCALE_EXEC_CORES", "8"))
+    # The DIRECT-invocation default must divide cpus: a blanket 8 would
+    # give a manual `--scale-worker 4` run an 8-core cluster and
+    # silently inflate the low level's throughput.
+    _default_cores = 8 if cpus % 8 == 0 else (4 if cpus % 4 == 0 else cpus)
+    exec_cores = int(
+        os.environ.get("SPARK_GRAFT_SCALE_EXEC_CORES", str(_default_cores))
+    )
     n_exec = max(1, cpus // exec_cores)
     s = get_spark(
         f"bench-scale-{cpus}",

@@ -60,7 +60,10 @@ def main(argv: list[str] | None = None) -> dict:
         candidate_pairs_involving,
         verify_candidate_pairs,
     )
-    from src_to_kb_spark.operators.extract import extract_pages
+    from src_to_kb_spark.operators.extract import (
+        MAX_FILE_SIZE,
+        extract_pages,
+    )
     from src_to_kb_spark.operators.linking import link_mentions
     from src_to_kb_spark.operators.mentions import detect_mentions
     from src_to_kb_spark.operators.triples import (
@@ -101,7 +104,15 @@ def main(argv: list[str] | None = None) -> dict:
     # dropDuplicates keeps an arbitrary row, making KB output
     # nondeterministic across runs when a url recurs with different
     # content.
-    raw_pages = load_pages(spark, args.input)
+    # Apply the extract size gate HERE, before dedup and before the
+    # resume anti-join: a gated page never reaches the documents table,
+    # so leaving it in `pages` would make it a PERMANENT phantom delta
+    # — every no-op resume would re-detect it as new, invalidate the
+    # downstream stages and recompute them, turning O(delta) resume
+    # into O(corpus) forever.
+    raw_pages = load_pages(spark, args.input).filter(
+        F.length("html") <= MAX_FILE_SIZE
+    )
     page_cols = raw_pages.columns
     pages = (
         raw_pages.groupBy("url")
@@ -139,6 +150,39 @@ def main(argv: list[str] | None = None) -> dict:
     if os.path.exists(pending_marker):
         invalidate(DOWNSTREAM)
         os.remove(pending_marker)
+
+    # Stage PARAMETERS are part of the resume identity, exactly like
+    # the band scheme below: a committed chunks table built with
+    # --chunk-size 1000 is NOT the answer to a --chunk-size 500 run,
+    # and a 0.8-threshold pair table silently masquerading as the 0.6
+    # result would drop every 0.6 ≤ j < 0.8 pair from components and
+    # same_as triples.  Record the params; on mismatch invalidate the
+    # stages derived from the changed ones (documents is
+    # parameter-independent and always survives).
+    params = {
+        "chunk_size": args.chunk_size,
+        "overlap": args.overlap,
+        "neardup_threshold": args.neardup_threshold,
+    }
+    params_path = os.path.join(args.output, "_scheme_params")
+    prev_params = {}
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            prev_params = json.load(f)
+    if prev_params and prev_params != params:
+        stale = set()
+        if (prev_params.get("chunk_size"), prev_params.get("overlap")) != (
+            params["chunk_size"], params["overlap"]
+        ):
+            stale |= {"chunks", "triples"}
+        if prev_params.get("neardup_threshold") != params[
+            "neardup_threshold"
+        ]:
+            stale |= {"neardup_pairs", "components", "triples"}
+        invalidate(sorted(stale))
+    os.makedirs(args.output, exist_ok=True)
+    with open(params_path, "w") as f:
+        json.dump(params, f)
 
     # -- stage: documents (resume unit = url) ------------------------------
     docs_delta = None  # extracted rows appended this run, if resuming

@@ -41,10 +41,16 @@ def _make_clean_udf(include_comments: bool):
     return clean_udf
 
 
+# S4 size gate (kb-generator.js:162-164) — module constant so resume's
+# new-page detection can apply the SAME gate (a gated page must not
+# look like a forever-new delta; see jobs/run_kg_pipeline.py)
+MAX_FILE_SIZE = 10 * 1024 * 1024
+
+
 def extract_pages(
     pages: DataFrame,
     include_comments: bool = True,
-    max_file_size: int = 10 * 1024 * 1024,
+    max_file_size: int = MAX_FILE_SIZE,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) → documents table.
 

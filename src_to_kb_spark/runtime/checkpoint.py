@@ -35,6 +35,14 @@ def write_stage(
 
     Returns the metrics dict: {stage, wall_sec, n_rows, partitions:
     [{partition_id, n_rows}, ...]}.
+
+    ``mode='overwrite'`` reads the WRITTEN table back for the counts —
+    O(what was just written).  ``mode='append'`` (the resume path's
+    delta writes) counts the DELTA DataFrame instead: re-reading the
+    whole table would cost an O(corpus) scan per per-document delta
+    append, turning the documented O(delta) resume into O(corpus) —
+    the sidecar then describes THIS write (``"mode": "append"``), i.e.
+    the lineage of the increment, not the cumulative table.
     """
     path = os.path.join(out_dir, stage)
     t0 = time.time()
@@ -44,14 +52,17 @@ def write_stage(
     writer.parquet(path)
     wall = time.time() - t0
 
-    written = df.sparkSession.read.parquet(path)
+    counted = (
+        df if mode == "append" else df.sparkSession.read.parquet(path)
+    )
     per_part = (
-        written.groupBy(F.spark_partition_id().alias("partition_id"))
+        counted.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count("*").alias("n_rows"))
         .collect()
     )
     metrics = {
         "stage": stage,
+        "mode": mode,
         "wall_sec": round(wall, 3),
         "n_rows": int(sum(r["n_rows"] for r in per_part)),
         "partitions": sorted(

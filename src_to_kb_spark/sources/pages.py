@@ -52,7 +52,10 @@ WITH pages AS (
     lang,
     source,
     doc_id,
-    length(text) AS size
+    -- BYTE length, not character count: the engine's documents.size
+    -- is F.length(html) = UTF-8 bytes (html == encode(text)); a
+    -- char-count here would diverge on any non-ASCII document
+    octet_length(encode(text)) AS size
   FROM documents
 )
 """
@@ -94,7 +97,11 @@ def documents_to_pages(docs: DataFrame, keep_keys: bool = True) -> DataFrame:
             [
                 F.col("doc_id"),
                 F.col("source"),
-                F.length("text").cast("long").alias("size"),
+                # byte length — must equal the extract stage's
+                # F.length(html) and the oracle CTE's octet_length
+                F.length(F.encode(F.col("text"), "UTF-8"))
+                .cast("long")
+                .alias("size"),
             ]
             if keep_keys
             else []
@@ -107,8 +114,38 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
 def load_pages(spark: SparkSession, sf_dir: str, keep_keys: bool = True) -> DataFrame:
-    return documents_to_pages(load_documents(spark, sf_dir), keep_keys=keep_keys)
+    """Load a pages corpus from ``sf_dir``.
+
+    Two accepted layouts:
+
+    * driver testdata — ``<sf_dir>/documents.parquet`` exists → the
+      deterministic adapter (:func:`documents_to_pages`) synthesizes
+      the pages shape;
+    * a REAL pages table — ``sf_dir`` is itself a parquet dataset with
+      the north-rule columns ``(url, warc_ts, html, text, lang)``
+      (e.g. an Iceberg/parquet export of a crawl) → read directly.
+      Anything else fails fast with the column diff rather than
+      silently re-synthesizing urls from a lookalike table.
+    """
+    import os
+
+    if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        return documents_to_pages(
+            load_documents(spark, sf_dir), keep_keys=keep_keys
+        )
+    pages = spark.read.parquet(sf_dir)
+    missing = [c for c in PAGES_COLUMNS if c not in pages.columns]
+    if missing:
+        raise ValueError(
+            f"{sf_dir!r} is neither driver testdata (no documents.parquet) "
+            f"nor a pages table (missing columns {missing}; "
+            f"found {pages.columns})"
+        )
+    return pages.select(*PAGES_COLUMNS)
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,9 @@
 
 from __future__ import annotations
 
+import json
+import os
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -200,3 +203,140 @@ def test_simhash_tokenless_exclusion_twin_parity(spark):
     )
     want = {(r[0], r[1], r[2]) for r in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+# ------------------- contract-surface review fixes -------------------------
+
+
+def test_load_pages_real_pages_table(spark, tmp_path):
+    """A north-rule-shaped pages parquet (url, warc_ts, html, text,
+    lang) is consumed DIRECTLY — the documented `--input /data/pages`
+    cluster usage; a lookalike table without the pages columns fails
+    fast instead of re-synthesizing urls."""
+    from src_to_kb_spark.operators.extract import extract_pages
+    from src_to_kb_spark.sources.pages import load_pages
+
+    real = str(tmp_path / "pages_tbl")
+    spark.createDataFrame(
+        [("https://real.example.com/a", "2024-03-01 00:00:00",
+          b"hello world", "hello world", "en")],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).write.parquet(real)
+
+    pages = load_pages(spark, real)
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    docs = extract_pages(pages).collect()
+    assert len(docs) == 1 and docs[0]["url"] == "https://real.example.com/a"
+
+    bogus = str(tmp_path / "not_pages")
+    spark.range(3).write.parquet(bogus)
+    with pytest.raises(ValueError, match="pages table"):
+        load_pages(spark, bogus)
+
+
+def test_write_stage_append_metrics_are_delta_scoped(spark, tmp_path):
+    """Append-mode lineage metrics must describe the DELTA (O(delta)
+    resume), not re-scan the whole table."""
+    from src_to_kb_spark.runtime.checkpoint import write_stage
+
+    out = str(tmp_path)
+    base = spark.range(100).withColumnRenamed("id", "url")
+    m1 = write_stage(base, out, "documents")
+    assert m1["mode"] == "overwrite" and m1["n_rows"] == 100
+    delta = spark.range(100, 103).withColumnRenamed("id", "url")
+    m2 = write_stage(delta, out, "documents", mode="append")
+    assert m2["mode"] == "append" and m2["n_rows"] == 3  # delta only
+    assert m2["n_rows"] == sum(p["n_rows"] for p in m2["partitions"])
+    # the table itself holds base + delta
+    assert spark.read.parquet(os.path.join(out, "documents")).count() == 103
+
+
+def test_stage_cache_key_includes_scheme_and_nested_parts(tmp_path):
+    import __spark_entry__ as entry
+
+    sf = str(tmp_path)
+    src = os.path.join(sf, "documents.parquet")
+    os.makedirs(os.path.join(src, "part=0"))
+    with open(os.path.join(src, "part=0", "data.parquet"), "wb") as f:
+        f.write(b"v1-bytes")
+
+    d_a = entry._stage_cache_dir(sf, "chunks", scheme="chunk:v1")
+    d_b = entry._stage_cache_dir(sf, "chunks", scheme="chunk:v2")
+    assert d_a != d_b  # builder-parameter change invalidates
+
+    # nested (partitioned) part files are fingerprinted: regenerating
+    # the nested file must move the cache dir
+    with open(os.path.join(src, "part=0", "data.parquet"), "wb") as f:
+        f.write(b"v2-bytes")
+    assert entry._stage_cache_dir(sf, "chunks", scheme="chunk:v1") != d_a
+
+
+def test_probe_row_fails_clearly(spark):
+    import __spark_entry__ as entry
+
+    df = spark.range(1).filter("id = 99")
+    with pytest.raises(ValueError, match="vec_id 0"):
+        entry._probe_row(df, "vec_id 0 embedding")
+
+
+def test_job_size_gated_page_is_not_a_phantom_delta(spark, tmp_path):
+    """A page over the extract size gate must not make every no-op
+    resume re-detect a 'delta' and recompute the global stages."""
+    from jobs.run_kg_pipeline import main as job_main
+
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("doc_id < 50")
+    big = spark.createDataFrame(
+        [(9999, "x" * (11 * 1024 * 1024), "en", "s0", 11 * 1024 * 1024)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    inp = str(tmp_path / "in")
+    src.unionByName(big).write.parquet(f"{inp}/documents.parquet")
+    out = str(tmp_path / "kb")
+    s1 = job_main(["--input", inp, "--output", out])
+    assert s1["documents"] == 50  # gated page excluded
+    mtime = os.path.getmtime(os.path.join(out, "_committed_triples"))
+    s2 = job_main(["--input", inp, "--output", out])  # no-op resume
+    assert s2["triples"] == s1["triples"]
+    # global stages untouched: the gated page did NOT register as new
+    assert os.path.getmtime(
+        os.path.join(out, "_committed_triples")
+    ) == mtime
+    assert not os.path.exists(os.path.join(out, "_delta_pending"))
+
+
+def test_job_param_change_invalidates_derived_stages(spark, tmp_path):
+    """Re-running the same --output with a different
+    --neardup-threshold must rebuild the near-dup family instead of
+    serving the old-threshold pair table."""
+    from jobs.run_kg_pipeline import main as job_main
+
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("doc_id < 80")
+    inp = str(tmp_path / "in")
+    src.write.parquet(f"{inp}/documents.parquet")
+    out = str(tmp_path / "kb")
+    job_main(["--input", inp, "--output", out,
+              "--neardup-threshold", "0.9"])
+
+    def mtime(stage):
+        return os.path.getmtime(os.path.join(out, f"_committed_{stage}"))
+
+    t_pairs, t_linked, t_chunks = (
+        mtime("neardup_pairs"), mtime("linked"), mtime("chunks")
+    )
+    job_main(["--input", inp, "--output", out,
+              "--neardup-threshold", "0.1"])
+    # near-dup family rebuilt under the new threshold...
+    assert mtime("neardup_pairs") > t_pairs
+    # ...while threshold-independent stages resumed untouched
+    assert mtime("linked") == t_linked and mtime("chunks") == t_chunks
+    with open(os.path.join(out, "_scheme_params")) as f:
+        assert json.load(f)["neardup_threshold"] == 0.1
+    # identical-params rerun: nothing rebuilds
+    t_pairs2 = mtime("neardup_pairs")
+    job_main(["--input", inp, "--output", out,
+              "--neardup-threshold", "0.1"])
+    assert mtime("neardup_pairs") == t_pairs2
