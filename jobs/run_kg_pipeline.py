@@ -20,8 +20,11 @@ stages (documents, chunks, linked, bands) append rows derived from the
 new docs only, near-dup pairs come from joining the delta's bands
 against the committed bands table, and only the genuinely global
 stages — components (over the small pair table) and triples (map-only
-union) — recompute.  On an Iceberg deployment the markers are replaced
-by table snapshots; the flow is identical.
+union) — recompute.  ``--table-format iceberg`` routes the same stage
+I/O through Iceberg tables (``runtime/checkpoint.py``
+:class:`IcebergFormat`): writes become catalog snapshots and each
+``_committed_<stage>`` marker records the committed snapshot id — the
+resume contract is identical, the markers just point into the catalog.
 """
 
 from __future__ import annotations
@@ -44,6 +47,15 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--neardup-threshold", type=float, default=0.8)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--table-format", choices=("parquet", "iceberg"),
+                    default="parquet",
+                    help="physical stage-table layer: bare parquet dirs "
+                         "under --output (default), or Iceberg tables "
+                         "<--table-prefix>.<stage> in a configured Spark "
+                         "catalog (markers then record snapshot ids)")
+    ap.add_argument("--table-prefix", default="kb.main",
+                    help="iceberg only: catalog.namespace holding the "
+                         "stage tables")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -74,6 +86,8 @@ def main(argv: list[str] | None = None) -> dict:
         same_as_triples,
     )
     from src_to_kb_spark.runtime.checkpoint import (
+        IcebergFormat,
+        ParquetFormat,
         is_committed,
         read_stage,
         resume_delta,
@@ -91,6 +105,15 @@ def main(argv: list[str] | None = None) -> dict:
         "kg-pipeline", cpus=args.cpus
     )
     os.makedirs(args.output, exist_ok=True)
+    # Physical table layer: --output always holds the control plane
+    # (markers/metrics/params sidecars); the stage DATA lives either in
+    # parquet dirs under it (default) or in Iceberg tables, where every
+    # commit marker records the committed snapshot id (north_star:
+    # "resumes from the last committed Iceberg snapshot checkpoint").
+    fmt = (
+        IcebergFormat(spark, args.table_prefix)
+        if args.table_format == "iceberg" else ParquetFormat(args.output)
+    )
 
     # Untrusted-input precondition: every downstream triple part is
     # (subj, pred, obj)-unique ONLY for unique urls (operators/
@@ -110,7 +133,10 @@ def main(argv: list[str] | None = None) -> dict:
     # — every no-op resume would re-detect it as new, invalidate the
     # downstream stages and recompute them, turning O(delta) resume
     # into O(corpus) forever.
-    raw_pages = load_pages(spark, args.input).filter(
+    # keep_keys=False: the pipeline only consumes the 5 north-rule
+    # columns, and a REAL pages table has no synthesized keys anyway
+    # (load_pages raises on keep_keys=True there)
+    raw_pages = load_pages(spark, args.input, keep_keys=False).filter(
         F.length("html") <= MAX_FILE_SIZE
     )
     page_cols = raw_pages.columns
@@ -187,7 +213,7 @@ def main(argv: list[str] | None = None) -> dict:
     # -- stage: documents (resume unit = url) ------------------------------
     docs_delta = None  # extracted rows appended this run, if resuming
     if is_committed(args.output, "documents"):
-        delta = resume_delta(pages, spark, args.output, "documents")
+        delta = resume_delta(pages, spark, args.output, "documents", fmt=fmt)
         if delta.limit(1).count() > 0:
             docs_new = extract_pages(
                 salted_repartition(
@@ -198,7 +224,8 @@ def main(argv: list[str] | None = None) -> dict:
             # downstream stages reconcile, a crash must invalidate them
             with open(pending_marker, "w") as f:
                 f.write("reconciling documents delta")
-            write_stage(docs_new, args.output, "documents", mode="append")
+            write_stage(docs_new, args.output, "documents", mode="append",
+                        fmt=fmt)
             docs_delta = docs_new
     else:
         docs_all = extract_pages(
@@ -206,8 +233,8 @@ def main(argv: list[str] | None = None) -> dict:
                 pages, n_partitions=spark.sparkContext.defaultParallelism
             )
         )
-        write_stage(docs_all, args.output, "documents")
-    documents = read_stage(spark, args.output, "documents")
+        write_stage(docs_all, args.output, "documents", fmt=fmt)
+    documents = read_stage(spark, args.output, "documents", fmt=fmt)
 
     # -- resume semantics for downstream stages ----------------------------
     # A documents delta invalidates every committed downstream result.
@@ -236,15 +263,16 @@ def main(argv: list[str] | None = None) -> dict:
 
     def stage(name, make, partition_by=None, make_delta=None):
         if not is_committed(args.output, name):
-            write_stage(make(), args.output, name, partition_by=partition_by)
+            write_stage(make(), args.output, name,
+                        partition_by=partition_by, fmt=fmt)
         elif docs_delta is not None and make_delta is not None:
             # per-document stage: exact delta propagation (append rows
             # derived from the new documents only)
             write_stage(
                 make_delta(docs_delta), args.output, name, mode="append",
-                partition_by=partition_by,
+                partition_by=partition_by, fmt=fmt,
             )
-        return read_stage(spark, args.output, name)
+        return read_stage(spark, args.output, name, fmt=fmt)
 
     # chunks, mention-linking, and near-dup→components are independent
     # given the committed documents table — submit their stage writes
@@ -303,6 +331,7 @@ def main(argv: list[str] | None = None) -> dict:
                 ),
                 args.output,
                 "neardup_pairs",
+                fmt=fmt,
             )
         elif docs_delta is not None:
             # incremental near-dup: every NEW pair has ≥1 delta member
@@ -321,9 +350,10 @@ def main(argv: list[str] | None = None) -> dict:
                 threshold=args.neardup_threshold,
             ).localCheckpoint()
             write_stage(
-                delta_pairs, args.output, "neardup_pairs", mode="append"
+                delta_pairs, args.output, "neardup_pairs", mode="append",
+                fmt=fmt,
             )
-        pairs = read_stage(spark, args.output, "neardup_pairs")
+        pairs = read_stage(spark, args.output, "neardup_pairs", fmt=fmt)
         if (
             not is_committed(args.output, "components")
             and components_seed_ok
@@ -333,11 +363,11 @@ def main(argv: list[str] | None = None) -> dict:
             # the delta pairs, iterate over O(delta) edges only.  The
             # eager checkpoint materializes the result BEFORE the
             # overwrite of the table it was read from.
-            seed = read_stage(spark, args.output, "components")
+            seed = read_stage(spark, args.output, "components", fmt=fmt)
             updated = incremental_components(
                 seed, delta_pairs
             ).localCheckpoint()
-            write_stage(updated, args.output, "components")
+            write_stage(updated, args.output, "components", fmt=fmt)
         return pairs, stage(
             "components", lambda: connected_components(pairs)
         )

@@ -17,8 +17,10 @@ to obtain it:
   land on one host so salted-repartition paths are exercised.
 
 At 100 TB the "adapter" disappears: ``spark.read.table('cc.pages')``
-over a partitioned Iceberg/Parquet table; everything downstream only
-sees the ``pages`` schema.
+over a partitioned Iceberg/Parquet table (the stage-table side of the
+same deployment is real code — ``runtime/checkpoint.py``
+:class:`IcebergFormat` behind ``--table-format iceberg``); everything
+downstream only sees the ``pages`` schema.
 """
 
 from __future__ import annotations
@@ -130,12 +132,27 @@ def load_pages(spark: SparkSession, sf_dir: str, keep_keys: bool = True) -> Data
       (e.g. an Iceberg/parquet export of a crawl) → read directly.
       Anything else fails fast with the column diff rather than
       silently re-synthesizing urls from a lookalike table.
+
+    ``keep_keys=True`` (the oracle-checkable queries' mode) requires
+    the synthesized ``doc_id``/``source``/``size`` keys that only the
+    testdata adapter produces — a real pages table has none, so asking
+    for them raises the explicit contract error here instead of an
+    unresolved-column AnalysisException deep in query construction
+    (ADVICE r4).  The pipeline itself never relies on the keys and
+    passes ``keep_keys=False``.
     """
     import os
 
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         return documents_to_pages(
             load_documents(spark, sf_dir), keep_keys=keep_keys
+        )
+    if keep_keys:
+        raise ValueError(
+            f"{sf_dir!r} is a real pages table (no documents.parquet): "
+            "it has no synthesized doc_id/source/size keys — call "
+            "load_pages(..., keep_keys=False) as the KG pipeline does; "
+            "keyed queries are driver-testdata-only"
         )
     pages = spark.read.parquet(sf_dir)
     missing = [c for c in PAGES_COLUMNS if c not in pages.columns]
