@@ -120,12 +120,23 @@ def _input_fingerprint(path: str) -> str:
         return "missing"
     h = hashlib.md5()
     if os.path.isdir(path):
+        # onerror folds unreadable DIRECTORIES into the hash too —
+        # without it os.walk silently yields nothing for them and the
+        # fingerprint degrades to the constant empty hash (ADVICE r4)
+        walk_errs: list[str] = []
         parts = sorted(
             os.path.join(dp, f)
-            for dp, dns, fns in os.walk(path)
+            for dp, dns, fns in os.walk(
+                path,
+                onerror=lambda e: walk_errs.append(
+                    f"{getattr(e, 'filename', '?')}|{type(e).__name__}"
+                ),
+            )
             for f in fns
             if not f.startswith((".", "_"))
         )
+        for err in sorted(walk_errs):
+            h.update(f"walkerr:{err}|".encode())
     else:
         parts = [path]
     for p in parts:
@@ -139,8 +150,14 @@ def _input_fingerprint(path: str) -> str:
                     f.seek(max(size - 65536, 0))
                     h.update(f.read(65536))
         except OSError as e:
-            st = os.stat(p) if os.path.exists(p) else None
-            ident = f"{st.st_size}|{st.st_mtime_ns}" if st else "gone"
+            # the fallback stat gets its OWN guard: the file can vanish
+            # between the failed read and here (ADVICE r4 TOCTOU) — the
+            # per-entry degrade must never itself raise
+            try:
+                st = os.stat(p)
+                ident = f"{st.st_size}|{st.st_mtime_ns}"
+            except OSError:
+                ident = "gone"
             h.update(f"{rel}|unreadable:{type(e).__name__}|{ident}|".encode())
     return h.hexdigest()
 
