@@ -164,7 +164,14 @@ def _flag_regressions(timings: dict[str, float]) -> dict:
     base_path = rounds[-1]
     try:
         with open(base_path) as f:
-            prev = json.load(f).get("queries") or {}
+            doc = json.load(f)
+        # the driver records {n, rc, sf, tail, parsed: {..., queries}};
+        # a locally saved sweep is the flat payload itself
+        prev = (
+            doc.get("queries")
+            or (doc.get("parsed") or {}).get("queries")
+            or {}
+        )
     except (OSError, ValueError):
         return {
             "baseline": os.path.basename(base_path),

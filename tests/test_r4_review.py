@@ -223,15 +223,21 @@ def test_load_pages_real_pages_table(spark, tmp_path):
         "url string, warc_ts string, html binary, text string, lang string",
     ).withColumn("warc_ts", F.to_timestamp("warc_ts")).write.parquet(real)
 
-    pages = load_pages(spark, real)
+    pages = load_pages(spark, real, keep_keys=False)
     assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
     docs = extract_pages(pages).collect()
     assert len(docs) == 1 and docs[0]["url"] == "https://real.example.com/a"
 
+    # r5 (ADVICE r4): asking a real table for the synthesized
+    # doc_id/source/size keys is a contract error HERE, not an
+    # unresolved-column AnalysisException inside query construction
+    with pytest.raises(ValueError, match="keep_keys=False"):
+        load_pages(spark, real)
+
     bogus = str(tmp_path / "not_pages")
     spark.range(3).write.parquet(bogus)
     with pytest.raises(ValueError, match="pages table"):
-        load_pages(spark, bogus)
+        load_pages(spark, bogus, keep_keys=False)
 
 
 def test_write_stage_append_metrics_are_delta_scoped(spark, tmp_path):
