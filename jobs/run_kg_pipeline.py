@@ -189,6 +189,14 @@ def main(argv: list[str] | None = None) -> dict:
         "chunk_size": args.chunk_size,
         "overlap": args.overlap,
         "neardup_threshold": args.neardup_threshold,
+        # The PHYSICAL table layer is part of the identity too: a
+        # _committed_documents marker written by a parquet run says
+        # nothing about the state of Iceberg tables under
+        # --table-prefix (and vice versa) — trusting it would resume
+        # against a different table layer's contents or crash with
+        # TABLE_OR_VIEW_NOT_FOUND deep inside resume_delta.
+        "table_format": args.table_format,
+        "table_prefix": args.table_prefix,
     }
     params_path = os.path.join(args.output, "_scheme_params")
     prev_params = {}
@@ -197,6 +205,14 @@ def main(argv: list[str] | None = None) -> dict:
             prev_params = json.load(f)
     if prev_params and prev_params != params:
         stale = set()
+        # pre-round-5 params files lack the format keys = parquet era;
+        # the prefix participates only under iceberg (parquet ignores it)
+        def _layer(p):
+            f = p.get("table_format", "parquet")
+            return (f, p.get("table_prefix") if f == "iceberg" else None)
+
+        if _layer(prev_params) != _layer(params):
+            stale |= {"documents", *DOWNSTREAM}
         if (prev_params.get("chunk_size"), prev_params.get("overlap")) != (
             params["chunk_size"], params["overlap"]
         ):

@@ -99,4 +99,9 @@ def run_pipeline(
 
 
 def run_pipeline_sf(spark: SparkSession, sf_dir: str, **kw) -> PipelineResult:
-    return run_pipeline(spark, load_pages(spark, sf_dir), **kw)
+    # keep_keys=False: the pipeline consumes only the 5 north-rule
+    # columns (extract_pages re-derives ids from url), and a REAL pages
+    # table has no synthesized keys — load_pages raises on keep_keys=True
+    # there, so the default would reject exactly the input shape this
+    # entry point supports.
+    return run_pipeline(spark, load_pages(spark, sf_dir, keep_keys=False), **kw)

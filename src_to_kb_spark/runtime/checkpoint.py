@@ -116,9 +116,15 @@ class IcebergFormat:
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
+        # The table's CURRENT snapshot (the `main` branch head in the
+        # `refs` metadata table), not `snapshots ORDER BY committed_at`:
+        # committed_at has millisecond granularity, so a timestamp sort
+        # is ambiguous under same-millisecond commits and records a
+        # concurrent writer's snapshot as ours.  The branch head is
+        # exactly "the last committed Iceberg snapshot checkpoint" the
+        # resume contract names.
         row = spark.sql(
-            f"SELECT snapshot_id FROM {ident}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {ident}.refs WHERE name = 'main'"
         ).first()
         return f"snapshot={row[0]}" if row else None
 

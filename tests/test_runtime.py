@@ -196,3 +196,49 @@ def test_iceberg_stage_roundtrip(spark, tmp_path):
         snap2 = f.read()
     assert snap2.startswith("snapshot=") and snap2 != snap1
     assert read_stage(spark, out, "documents", fmt=fmt).count() == 25
+
+
+def test_job_table_layer_change_invalidates_everything(spark, tmp_path):
+    """The physical table layer (--table-format/--table-prefix) is part
+    of the resume identity: a _committed marker written by a parquet
+    run says nothing about Iceberg tables under a prefix (and vice
+    versa), so a layer change must invalidate ALL stages — while a
+    pre-round-5 params file (no format keys) must keep reading as the
+    parquet era and resume untouched."""
+    import json
+
+    from jobs.run_kg_pipeline import main as job_main
+
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter("doc_id < 40")
+    inp = str(tmp_path / "in")
+    src.write.parquet(f"{inp}/documents.parquet")
+    out = str(tmp_path / "kb")
+    job_main(["--input", inp, "--output", out])
+
+    params_path = os.path.join(out, "_scheme_params")
+    with open(params_path) as f:
+        params = json.load(f)
+    assert params["table_format"] == "parquet"
+
+    def mtime(stage):
+        return os.path.getmtime(os.path.join(out, f"_committed_{stage}"))
+
+    # pre-round-5 sidecar (no format keys) == parquet era: no rebuild
+    legacy = {k: v for k, v in params.items()
+              if k not in ("table_format", "table_prefix")}
+    with open(params_path, "w") as f:
+        json.dump(legacy, f)
+    t_docs, t_triples = mtime("documents"), mtime("triples")
+    job_main(["--input", inp, "--output", out])
+    assert mtime("documents") == t_docs and mtime("triples") == t_triples
+
+    # sidecar claiming a DIFFERENT layer: everything rebuilds
+    with open(params_path, "w") as f:
+        json.dump({**params, "table_format": "iceberg",
+                   "table_prefix": "kb.other"}, f)
+    job_main(["--input", inp, "--output", out])
+    assert mtime("documents") > t_docs and mtime("triples") > t_triples
+    with open(params_path) as f:
+        assert json.load(f)["table_format"] == "parquet"

@@ -42,13 +42,13 @@ def main():
         df.write.format("noop").mode("overwrite").save()
 
     # warm-up identical to bench.py
-    noop(extract_pages(load_pages(spark, SF_DIR)))
+    noop(extract_pages(load_pages(spark, SF_DIR, keep_keys=False)))
 
     # full query wall (what bench times), 2 reps min
     full = []
     for _ in range(2):
         t0 = time.time()
-        r = run_pipeline(spark, load_pages(spark, SF_DIR), neardup_threshold=0.6)
+        r = run_pipeline(spark, load_pages(spark, SF_DIR, keep_keys=False), neardup_threshold=0.6)
         noop(r.triples)
         full.append(time.time() - t0)
         r.documents.unpersist()
@@ -65,7 +65,7 @@ def main():
 
     stages = {}
     pages = salted_repartition(
-        load_pages(spark, SF_DIR),
+        load_pages(spark, SF_DIR, keep_keys=False),
         n_partitions=spark.sparkContext.defaultParallelism,
     )
     gaz = gazetteer_df(spark)
