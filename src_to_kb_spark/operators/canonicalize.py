@@ -228,7 +228,12 @@ def incremental_components(
     (small, paired-nodes-only) stage table.
     """
     lbl = committed.select("key", "canon_id")
-    pairs = new_pairs.select("key_a", "key_b")
+    # drop self-loops up front, exactly like connected_components: a
+    # (x, x) delta edge must not mint a label for a brand-new x that a
+    # from-scratch run would never see
+    pairs = new_pairs.select("key_a", "key_b").filter(
+        F.col("key_a") != F.col("key_b")
+    )
 
     # endpoint keys of the delta (small — O(delta))
     delta_keys = (
