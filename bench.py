@@ -104,7 +104,7 @@ def _pipeline_stage_secs(spark, sf_dir: str) -> dict[str, float]:
         return round(best, 3)
 
     pages = salted_repartition(
-        load_pages(spark, sf_dir),
+        load_pages(spark, sf_dir, keep_keys=False),
         n_partitions=spark.sparkContext.defaultParallelism,
     )
     gaz = gazetteer_df(spark)
@@ -204,9 +204,9 @@ def _run_once(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     from src_to_kb_spark.operators.extract import extract_pages
     from src_to_kb_spark.sources.pages import load_pages
 
-    extract_pages(load_pages(spark, sf_dir)).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    extract_pages(
+        load_pages(spark, sf_dir, keep_keys=False)
+    ).write.format("noop").mode("overwrite").save()
     # stage-table builds are untimed (see STAGE_BACKED) — constructing
     # the query triggers the committed-table build if absent
     for name in STAGE_BACKED:

@@ -205,11 +205,31 @@ def main(argv: list[str] | None = None) -> dict:
             prev_params = json.load(f)
     if prev_params and prev_params != params:
         stale = set()
-        # pre-round-5 params files lack the format keys = parquet era;
-        # the prefix participates only under iceberg (parquet ignores it)
+        # Pre-format-era params files lack the format keys; the KB's
+        # actual layer is still knowable from marker CONTENT (Iceberg
+        # markers carry 'snapshot=<id>', parquet markers a timestamp) —
+        # inferring it avoids both spuriously rebuilding a legacy
+        # iceberg KB resumed with matching args and silently trusting
+        # its markers under a parquet rerun.  A legacy iceberg sidecar
+        # stored no prefix, so the caller's is assumed (resume-with-
+        # same-args, the only recoverable case).  The prefix otherwise
+        # participates only under iceberg (parquet ignores it).
         def _layer(p):
-            f = p.get("table_format", "parquet")
-            return (f, p.get("table_prefix") if f == "iceberg" else None)
+            f = p.get("table_format")
+            if f is None:
+                try:
+                    with open(
+                        os.path.join(args.output, "_committed_documents")
+                    ) as fh:
+                        f = (
+                            "iceberg"
+                            if fh.read().startswith("snapshot=")
+                            else "parquet"
+                        )
+                except OSError:
+                    f = "parquet"
+            prefix = p.get("table_prefix", args.table_prefix)
+            return (f, prefix if f == "iceberg" else None)
 
         if _layer(prev_params) != _layer(params):
             stale |= {"documents", *DOWNSTREAM}

@@ -119,10 +119,13 @@ class IcebergFormat:
         # The table's CURRENT snapshot (the `main` branch head in the
         # `refs` metadata table), not `snapshots ORDER BY committed_at`:
         # committed_at has millisecond granularity, so a timestamp sort
-        # is ambiguous under same-millisecond commits and records a
-        # concurrent writer's snapshot as ours.  The branch head is
-        # exactly "the last committed Iceberg snapshot checkpoint" the
-        # resume contract names.
+        # is ambiguous even in the single-writer case.  Each stage
+        # table has ONE writer (this job) by design, so the branch head
+        # read here IS this write's commit; under an out-of-contract
+        # concurrent writer the head could advance between commit and
+        # read — a far narrower window than the timestamp sort, and
+        # "the last committed snapshot checkpoint" (the resume
+        # contract) is still what the marker records.
         row = spark.sql(
             f"SELECT snapshot_id FROM {ident}.refs WHERE name = 'main'"
         ).first()

@@ -98,12 +98,20 @@ def _docs_with_chunks(
                 F.when(F.col("embedding").isNull(), 1).otherwise(0)
             ) if with_embedding else F.lit(0)
         ).alias("n_missing"),
-        # chunk_ids whose merge saw >1 vector (the max policy fired);
-        # rides the existing per-doc aggregation — see
-        # merge_embeddings_into_chunks
+        # DISTINCT chunk_ids whose merge saw >1 vector (the max policy
+        # fired) — distinct so duplicate chunk rows in a malformed
+        # chunks table don't fan the count out; rides the existing
+        # per-doc aggregation (see merge_embeddings_into_chunks).
+        # Scope: chunks attached to a known document, i.e. exactly the
+        # rows where the policy can affect what gets SENT — dup
+        # vectors for orphaned chunk_ids never reach a payload.
         (
-            F.sum(
-                F.when(F.col("_n_emb") > 1, 1).otherwise(0)
+            F.size(
+                F.array_distinct(
+                    F.collect_list(
+                        F.when(F.col("_n_emb") > 1, F.col("chunk_id"))
+                    )
+                )
             ) if with_embedding else F.lit(0)
         ).alias("n_dup"),
     )
