@@ -154,7 +154,11 @@ def _flag_regressions(timings: dict[str, float]) -> dict:
     rounds.  Queries new this round have no baseline and cannot flag.
     This VM's documented ±40% bursts mean a flag is a TRIGGER for the
     per-stage attribution table / a replication, not proof of a code
-    regression."""
+    regression.  Sub-second queries sit at the scheduler noise floor
+    (a 50 ms jitter on a 0.1 s query is a 1.5× "ratio"), so a flag
+    additionally requires the absolute delta to exceed 0.25 s — ratio
+    alone would cry wolf on exactly the queries where a real
+    regression matters least."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -182,7 +186,7 @@ def _flag_regressions(timings: dict[str, float]) -> dict:
     flagged = {}
     for name, now in timings.items():
         p = prev.get(name)
-        if p and now > 1.25 * p:
+        if p and now > 1.25 * p and now - p > 0.25:
             flagged[name] = {
                 "prev": p, "now": now, "ratio": round(now / p, 2)
             }
