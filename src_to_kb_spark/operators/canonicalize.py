@@ -306,8 +306,11 @@ def oracle_components_sql(edges_cte: str = "pairs") -> str:
     """
     return f"""
 , sym AS (
-  SELECT key_a AS src, key_b AS dst FROM {edges_cte}
-  UNION SELECT key_b, key_a FROM {edges_cte}
+  -- key_a <> key_b mirrors the engine (connected_components and
+  -- incremental_components both drop self-loops before deriving the
+  -- node set, so a self-loop-only key gets no label from either)
+  SELECT key_a AS src, key_b AS dst FROM {edges_cte} WHERE key_a <> key_b
+  UNION SELECT key_b, key_a FROM {edges_cte} WHERE key_a <> key_b
 ),
 reach AS (
   SELECT src, dst FROM sym
@@ -328,8 +331,9 @@ def oracle_components_cte(edges_cte: str = "pairs", name: str = "comp") -> str:
     oracle queries (e.g. the full-pipeline triples twin)."""
     return f"""
 , csym AS (
-  SELECT key_a AS src, key_b AS dst FROM {edges_cte}
-  UNION SELECT key_b, key_a FROM {edges_cte}
+  -- key_a <> key_b: see oracle_components_sql
+  SELECT key_a AS src, key_b AS dst FROM {edges_cte} WHERE key_a <> key_b
+  UNION SELECT key_b, key_a FROM {edges_cte} WHERE key_a <> key_b
 ),
 creach AS (
   SELECT src, dst FROM csym
